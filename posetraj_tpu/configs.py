@@ -1,0 +1,317 @@
+"""Typed configuration tree for PoseTraj-TPU.
+
+One dataclass config per subsystem, replacing the reference's per-script
+argparse flag soup (reference: scripts/train_svd_traj_blender_14.py:447-792)
+and inline inference config dicts (scripts/run_inference_vipseg_json_repro.py:321-328).
+
+All configs are hashable frozen dataclasses so they can be closed over by
+`jax.jit`-compiled functions as static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+def _field(default):
+    if isinstance(default, (list, dict)):
+        return dataclasses.field(default_factory=lambda: default)
+    return default
+
+
+@dataclasses.dataclass(frozen=True)
+class DTypePolicy:
+    """Mixed-precision policy.
+
+    Parameters are stored in `param_dtype`; matmuls/convs run in
+    `compute_dtype`; normalization statistics, softmax, and the scheduler
+    always run in fp32 (mirroring the reference's fp32 upcasts at
+    pipeline_stable_video_diffusion_controlnet.py:453-462 and
+    scheduling_euler_discrete_karras_fix.py:481).
+    """
+
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @classmethod
+    def full_precision(cls) -> "DTypePolicy":
+        return cls(param_dtype=jnp.float32, compute_dtype=jnp.float32)
+
+    @classmethod
+    def bf16(cls) -> "DTypePolicy":
+        return cls(param_dtype=jnp.float32, compute_dtype=jnp.bfloat16)
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """SVD spatio-temporal UNet (ControlNet-consumer).
+
+    Mirrors the reference architecture
+    (models/unet_spatio_temporal_condition_controlnet.py:69-95, per
+    diffusers==0.24.0 block semantics) but holds only what the math needs.
+    """
+
+    in_channels: int = 8
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    # Which levels carry spatial+temporal transformers. The reference uses
+    # CrossAttn blocks at levels 0-2 and a plain block at level 3
+    # (unet...controlnet.py:75-86).
+    cross_attention_levels: Tuple[bool, ...] = (True, True, True, False)
+    layers_per_block: int = 2
+    transformer_layers_per_block: int = 1
+    num_attention_heads: Tuple[int, ...] = (5, 10, 10, 20)
+    cross_attention_dim: int = 1024
+    addition_time_embed_dim: int = 256
+    projection_class_embeddings_input_dim: int = 768
+    num_frames: int = 14
+    resnet_eps: float = 1e-5
+    # Fidelity quirk Q1: the reference re-adds ControlNet residual k on every
+    # later down-block iteration because the residual merge sits INSIDE the
+    # block loop (unet...controlnet.py:451-459). Trained checkpoints bake this
+    # in, so it defaults on; set False for the mathematically-clean variant.
+    fidelity_residual_in_loop: bool = True
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.block_out_channels)
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+    @classmethod
+    def tiny(cls) -> "UNetConfig":
+        """Small config for tests: same topology, tiny widths."""
+        return cls(
+            block_out_channels=(32, 64, 64, 64),
+            num_attention_heads=(2, 4, 4, 4),
+            cross_attention_dim=16,
+            addition_time_embed_dim=8,
+            projection_class_embeddings_input_dim=24,
+            num_frames=2,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class HintEncoderConfig:
+    """Trajectory "hint" conv encoder + variant plug-ins.
+
+    The reference forks a whole 880-line model file per variant
+    (controlnet_sdv{,_bbox,_cam,_v2,_entity,_temp}.py); here each variant is a
+    config switch on one encoder module.
+
+    variant:
+      "base"   - conv stack only (controlnet_sdv.py:61-116)
+      "bbox"   - dual branch, traj + rendered-3D-bbox maps summed
+                 (controlnet_sdv_bbox.py:95-136)
+      "cam"    - per-frame camera RT (12-d) broadcast over HxW, concat +
+                 linear projection (controlnet_sdv_cam.py:109-121). We build
+                 the corrected general form Linear(C_embed+12, C_embed)
+                 (the reference as written has a 268-vs-332 dim mismatch;
+                 SURVEY.md quirk Q6).
+      "rot"    - learned rotation-class embedding (2, C) added
+                 (controlnet_sdv_v2.py:95-113)
+      "entity" - zero-conv'd entity feature broadcast over frames
+                 (controlnet_sdv_entity.py:95-123)
+      "temp"   - temporal transformer blocks over frames after the conv stack
+                 (controlnet_sdv_temp.py:62-165)
+    """
+
+    variant: str = "base"
+    conditioning_channels: int = 3
+    block_out_channels: Tuple[int, ...] = (16, 32, 96, 256)
+    embedding_channels: int = 320  # == UNet block_out_channels[0]
+    camera_dim: int = 12  # 3x3 R flattened + 3 T
+    num_rot_classes: int = 2  # line vs rotational trajectory
+    temp_num_layers: int = 2  # transformer depth for "temp" variant
+    temp_num_heads: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class ControlNetConfig:
+    """Trajectory ControlNet: UNet encoder copy + hint encoder + zero convs.
+
+    Reference: models/controlnet_sdv.py:201-651.
+    """
+
+    unet: UNetConfig = dataclasses.field(default_factory=UNetConfig)
+    hint: HintEncoderConfig = dataclasses.field(default_factory=HintEncoderConfig)
+
+    @classmethod
+    def tiny(cls, variant: str = "base") -> "ControlNetConfig":
+        u = UNetConfig.tiny()
+        return cls(
+            unet=u,
+            hint=HintEncoderConfig(
+                variant=variant,
+                block_out_channels=(4, 8, 8, 16),
+                embedding_channels=u.block_out_channels[0],
+                temp_num_layers=1,
+                temp_num_heads=2,
+            ),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    """AutoencoderKLTemporalDecoder: 2D encoder + temporal-conv decoder.
+
+    Reference loads diffusers' pretrained module
+    (train_svd_traj_blender_14.py:880-884); architecture per diffusers==0.24.0
+    autoencoder_kl_temporal_decoder.py.
+    """
+
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    scaling_factor: float = 0.18215
+    eps: float = 1e-6
+
+    @property
+    def scale_factor(self) -> int:
+        return 2 ** (len(self.block_out_channels) - 1)
+
+    @classmethod
+    def tiny(cls) -> "VAEConfig":
+        return cls(block_out_channels=(8, 16, 16, 16), layers_per_block=1)
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    """CLIP ViT-H/14 image encoder with projection (laion2B), frozen.
+
+    Reference: transformers CLIPVisionModelWithProjection loaded at
+    train_svd_traj_blender_14.py:869-873.
+    """
+
+    image_size: int = 224
+    patch_size: int = 14
+    hidden_size: int = 1280
+    num_layers: int = 32
+    num_heads: int = 16
+    intermediate_size: int = 5120
+    projection_dim: int = 1024
+    layer_norm_eps: float = 1e-5
+    # CLIP preprocessing constants (OpenAI CLIP mean/std).
+    image_mean: Tuple[float, float, float] = (0.48145466, 0.4578275, 0.40821073)
+    image_std: Tuple[float, float, float] = (0.26862954, 0.26130258, 0.27577711)
+
+    @classmethod
+    def tiny(cls) -> "CLIPVisionConfig":
+        return cls(
+            image_size=28,
+            patch_size=14,
+            hidden_size=32,
+            num_layers=2,
+            num_heads=2,
+            intermediate_size=64,
+            projection_dim=16,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class SchedulerConfig:
+    """Euler-Discrete scheduler with the "karras fix".
+
+    Reference: utils/scheduling_euler_discrete_karras_fix.py:178-244. SVD's
+    shipped scheduler config uses v_prediction + continuous timesteps +
+    Karras sigmas with explicit sigma_min/max — the "fix" is honoring those
+    config values inside _convert_to_karras (:375-399).
+    """
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.0001
+    beta_end: float = 0.02
+    beta_schedule: str = "scaled_linear"
+    prediction_type: str = "v_prediction"
+    timestep_type: str = "continuous"
+    timestep_spacing: str = "linspace"
+    interpolation_type: str = "linear"
+    use_karras_sigmas: bool = True
+    sigma_min: Optional[float] = 0.002
+    sigma_max: Optional[float] = 700.0
+    rho: float = 7.0
+
+
+@dataclasses.dataclass(frozen=True)
+class EDMConfig:
+    """EDM training-noise distribution + loss weighting.
+
+    Reference constants at train_svd_traj_blender_14.py:264-269 and loss math
+    at :1323-1336.
+    """
+
+    sigma_data: float = 0.5
+    min_value: float = 0.002
+    max_value: float = 700.0
+    image_d: int = 64
+    noise_d_low: int = 32
+    noise_d_high: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end img2vid sampling configuration.
+
+    Defaults mirror pipeline_stable_video_diffusion_controlnet.py:316-340 and
+    the repro driver's call (run_inference_vipseg_json_repro.py:451).
+    """
+
+    height: int = 576
+    width: int = 1024
+    num_frames: int = 14
+    num_inference_steps: int = 25
+    min_guidance_scale: float = 1.0
+    max_guidance_scale: float = 3.0
+    fps: int = 7
+    motion_bucket_id: int = 127
+    noise_aug_strength: float = 0.02
+    controlnet_cond_scale: float = 1.0
+    decode_chunk_size: int = 8
+    # Fidelity quirk Q3: the reference pipeline OVERRIDES user fps/motion args
+    # with hard-coded (fps=6, motion=128, aug=0.02) right before the denoise
+    # loop (pipeline...controlnet.py:513-523). Default on for checkpoint
+    # fidelity; set False to honor the user arguments.
+    fidelity_time_ids_override: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """EDM ControlNet training (stage-1 pretrain / stage-2 finetune).
+
+    Defaults mirror start_pretrain.sh / start_ft.sh: lr 1e-5, per-device
+    batch 1, grad-accum 2, mixed precision, conditioning dropout 0.1,
+    EMA, auxiliary single-frame spatial loss x0.5.
+    """
+
+    learning_rate: float = 1e-5
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_weight_decay: float = 1e-2
+    adam_epsilon: float = 1e-8
+    max_grad_norm: float = 1.0
+    gradient_accumulation_steps: int = 2
+    per_device_batch_size: int = 1
+    num_frames: int = 14
+    height: int = 320
+    width: int = 576
+    conditioning_dropout_prob: float = 0.1
+    noise_aug_strength: float = 0.02
+    use_spatial_loss: bool = True
+    spatial_loss_weight: float = 0.5
+    use_ema: bool = True
+    ema_decay: float = 0.9999
+    seed: int = 23123134  # reference generator seed (train...blender_14.py:829)
+    # Camera variant knobs (start_ft_cam.sh).
+    cam_mask_ratio: float = 0.5
+    cam_norm: bool = False
+    checkpointing_steps: int = 10000
+    checkpoints_total_limit: int = 2
+    lr_warmup_steps: int = 500
+    lr_scheduler: str = "constant"

@@ -1,0 +1,58 @@
+"""Parameter-pytree utilities: counting, casting, flattening, EMA."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+PyTree = Any
+
+
+def count_params(tree: PyTree) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(tree))
+
+
+def cast(tree: PyTree, dtype) -> PyTree:
+    return jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)
+
+
+def flatten_dict(tree: Dict, prefix: str = "", sep: str = ".") -> Dict[str, jax.Array]:
+    """Nested dict -> {"a.b.c": leaf} for weight conversion and audits."""
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{sep}{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(flatten_dict(v, key, sep))
+        else:
+            out[key] = v
+    return out
+
+
+def unflatten_dict(flat: Dict[str, jax.Array], sep: str = ".") -> Dict:
+    out: Dict = {}
+    for key, v in flat.items():
+        parts = key.split(sep)
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
+
+
+def ema_update(ema: PyTree, new: PyTree, decay: float) -> PyTree:
+    """EMA step equivalent to diffusers EMAModel at fixed decay
+    (train_svd_traj_blender_14.py:920-923, 1379-1380)."""
+    return jax.tree_util.tree_map(lambda e, p: decay * e + (1.0 - decay) * p, ema, new)
+
+
+def param_audit(tree: PyTree, trainable_fn: Callable[[str], bool] | None = None) -> str:
+    """Human-readable frozen-vs-trainable listing, standing in for the
+    reference's rec_para.txt dumps (train_svd_traj_blender_14.py:1029-1038)."""
+    lines = []
+    for name, leaf in sorted(flatten_dict(tree).items()):
+        trainable = trainable_fn(name) if trainable_fn else True
+        tag = "train " if trainable else "frozen"
+        lines.append(f"{tag} {name} {tuple(leaf.shape)} {leaf.dtype}")
+    return "\n".join(lines)
