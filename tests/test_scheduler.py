@@ -97,8 +97,8 @@ def test_euler_step_matches_reference_equations(pred_type):
     expect = sample + derivative * (sigma_next - sigma)
 
     prev, got_orig = euler_step(jnp.asarray(model_output), jnp.asarray(sample), sigma, sigma_next, pred_type)
-    np.testing.assert_allclose(np.asarray(prev), expect, rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(got_orig), pred_orig, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(prev), expect, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_orig), pred_orig, rtol=1e-5, atol=1e-5)
 
 
 def test_euler_step_final_step_returns_pred_x0_scaled():
