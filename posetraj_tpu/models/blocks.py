@@ -1,0 +1,219 @@
+"""SVD UNet blocks: CrossAttn/plain down blocks, mid block, up blocks.
+
+Per diffusers==0.24.0 unet_3d_blocks.py (consumed by the reference at
+unet_spatio_temporal_condition_controlnet.py:13 via get_down_block /
+get_up_block / UNetMidBlockSpatioTemporal). Epsilons follow 0.24.0: cross-attn
+blocks build resnets with eps=1e-6, plain and mid blocks with eps=1e-5.
+
+All blocks operate on fused-frame spatial tensors (B*F, H, W, C) with
+temb (B*F, temb_dim) and CLIP context (B*F, 1, cross_dim).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from posetraj_tpu.core.init import conv_init, rsplit
+from posetraj_tpu.models.resnet import init_spatio_temporal_res_block, spatio_temporal_res_block
+from posetraj_tpu.models.transformer import (
+    init_transformer_spatio_temporal,
+    transformer_spatio_temporal,
+)
+from posetraj_tpu.ops.primitives import downsample_2x, upsample_nearest_2x
+
+CROSS_ATTN_EPS = 1e-6
+PLAIN_EPS = 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Down blocks
+# ---------------------------------------------------------------------------
+
+
+def init_down_block(
+    key: jax.Array,
+    in_channels: int,
+    out_channels: int,
+    temb_channels: int,
+    num_layers: int,
+    has_cross_attention: bool,
+    num_heads: int,
+    transformer_layers: int,
+    cross_attention_dim: int,
+    add_downsample: bool,
+) -> dict:
+    ks = rsplit(key, 2 * num_layers + 1)
+    p: dict = {"resnets": [], "attentions": [] if has_cross_attention else None}
+    for i in range(num_layers):
+        cin = in_channels if i == 0 else out_channels
+        p["resnets"].append(init_spatio_temporal_res_block(ks[i], cin, out_channels, temb_channels))
+        if has_cross_attention:
+            p["attentions"].append(
+                init_transformer_spatio_temporal(
+                    ks[num_layers + i], out_channels, num_heads, transformer_layers, cross_attention_dim
+                )
+            )
+    if p["attentions"] is None:
+        del p["attentions"]
+    if add_downsample:
+        p["downsampler"] = conv_init(ks[-1], (3, 3, out_channels, out_channels))
+    return p
+
+
+def down_block(
+    params: dict,
+    x: jax.Array,
+    temb: jax.Array,
+    context: Optional[jax.Array],
+    num_frames: int,
+    num_heads: int,
+    image_only_indicator: Optional[jax.Array],
+    fidelity_time_context_order: bool = True,
+    backend: str = "auto",
+    compute_dtype=None,
+) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
+    has_attn = "attentions" in params
+    eps = CROSS_ATTN_EPS if has_attn else PLAIN_EPS
+    skips: List[jax.Array] = []
+    for i, res_p in enumerate(params["resnets"]):
+        x = spatio_temporal_res_block(
+            res_p, x, temb, num_frames, image_only_indicator, eps=eps, compute_dtype=compute_dtype
+        )
+        if has_attn:
+            x = transformer_spatio_temporal(
+                params["attentions"][i], x, context, num_frames, num_heads,
+                image_only_indicator, fidelity_time_context_order, backend, compute_dtype,
+            )
+        skips.append(x)
+    if "downsampler" in params:
+        x = downsample_2x(params["downsampler"], x, compute_dtype=compute_dtype)
+        skips.append(x)
+    return x, tuple(skips)
+
+
+# ---------------------------------------------------------------------------
+# Mid block
+# ---------------------------------------------------------------------------
+
+
+def init_mid_block(
+    key: jax.Array,
+    channels: int,
+    temb_channels: int,
+    num_heads: int,
+    transformer_layers: int,
+    cross_attention_dim: int,
+) -> dict:
+    k1, k2, k3 = rsplit(key, 3)
+    return {
+        "resnets": [
+            init_spatio_temporal_res_block(k1, channels, channels, temb_channels),
+            init_spatio_temporal_res_block(k2, channels, channels, temb_channels),
+        ],
+        "attentions": [
+            init_transformer_spatio_temporal(k3, channels, num_heads, transformer_layers, cross_attention_dim)
+        ],
+    }
+
+
+def mid_block(
+    params: dict,
+    x: jax.Array,
+    temb: jax.Array,
+    context: jax.Array,
+    num_frames: int,
+    num_heads: int,
+    image_only_indicator: Optional[jax.Array],
+    fidelity_time_context_order: bool = True,
+    backend: str = "auto",
+    compute_dtype=None,
+) -> jax.Array:
+    x = spatio_temporal_res_block(
+        params["resnets"][0], x, temb, num_frames, image_only_indicator, eps=PLAIN_EPS,
+        compute_dtype=compute_dtype,
+    )
+    x = transformer_spatio_temporal(
+        params["attentions"][0], x, context, num_frames, num_heads,
+        image_only_indicator, fidelity_time_context_order, backend, compute_dtype,
+    )
+    x = spatio_temporal_res_block(
+        params["resnets"][1], x, temb, num_frames, image_only_indicator, eps=PLAIN_EPS,
+        compute_dtype=compute_dtype,
+    )
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Up blocks
+# ---------------------------------------------------------------------------
+
+
+def init_up_block(
+    key: jax.Array,
+    in_channels: int,
+    prev_output_channel: int,
+    out_channels: int,
+    temb_channels: int,
+    num_layers: int,
+    has_cross_attention: bool,
+    num_heads: int,
+    transformer_layers: int,
+    cross_attention_dim: int,
+    add_upsample: bool,
+) -> dict:
+    ks = rsplit(key, 2 * num_layers + 1)
+    p: dict = {"resnets": []}
+    if has_cross_attention:
+        p["attentions"] = []
+    for i in range(num_layers):
+        res_skip = in_channels if (i == num_layers - 1) else out_channels
+        res_in = prev_output_channel if i == 0 else out_channels
+        p["resnets"].append(
+            init_spatio_temporal_res_block(ks[i], res_in + res_skip, out_channels, temb_channels)
+        )
+        if has_cross_attention:
+            p["attentions"].append(
+                init_transformer_spatio_temporal(
+                    ks[num_layers + i], out_channels, num_heads, transformer_layers, cross_attention_dim
+                )
+            )
+    if add_upsample:
+        p["upsampler"] = conv_init(ks[-1], (3, 3, out_channels, out_channels))
+    return p
+
+
+def up_block(
+    params: dict,
+    x: jax.Array,
+    skips: Tuple[jax.Array, ...],
+    temb: jax.Array,
+    context: Optional[jax.Array],
+    num_frames: int,
+    num_heads: int,
+    image_only_indicator: Optional[jax.Array],
+    fidelity_time_context_order: bool = True,
+    backend: str = "auto",
+    compute_dtype=None,
+) -> jax.Array:
+    """`skips` holds this block's residuals, consumed last-first
+    (unet...controlnet.py:474-475)."""
+    has_attn = "attentions" in params
+    eps = CROSS_ATTN_EPS if has_attn else PLAIN_EPS
+    skips = list(skips)
+    for i, res_p in enumerate(params["resnets"]):
+        skip = skips.pop()
+        x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        x = spatio_temporal_res_block(
+            res_p, x, temb, num_frames, image_only_indicator, eps=eps, compute_dtype=compute_dtype
+        )
+        if has_attn:
+            x = transformer_spatio_temporal(
+                params["attentions"][i], x, context, num_frames, num_heads,
+                image_only_indicator, fidelity_time_context_order, backend, compute_dtype,
+            )
+    if "upsampler" in params:
+        x = upsample_nearest_2x(params["upsampler"], x, compute_dtype=compute_dtype)
+    return x

@@ -1,0 +1,291 @@
+"""Spatial + temporal transformer blocks and the TransformerSpatioTemporalModel.
+
+Architecture per diffusers==0.24.0 (attention.py BasicTransformerBlock /
+TemporalBasicTransformerBlock, transformer_temporal.py
+TransformerSpatioTemporalModel) — the exact version the reference pins
+(requirements.txt:4) and consumes via unet_3d_blocks.
+
+Shapes: spatial tokens (B*F, H*W, C); temporal tokens (B*H*W, F, C). The
+temporal shape is tiny-seq/huge-batch — attention backend dispatch lives in
+posetraj_tpu/ops/attention.py.
+
+Fidelity quirk Q7 (discovered during the rebuild, preserved behind
+`fidelity_time_context_order`): diffusers 0.24.0 builds the temporal
+cross-attn `time_context` by broadcasting to (H*W, B, 1, C) then reshaping to
+(H*W*B, 1, C) — sequence-major — while the hidden states it attends from are
+batch-major (B*H*W, F, C). For batch==1 (single video, no CFG) the orderings
+coincide; for the CFG batch of 2 the cond/uncond contexts interleave across
+pixels. Reference checkpoints were trained and evaluated through this code
+path, so it defaults on.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from posetraj_tpu.core.init import linear_init, norm_init, rsplit
+from posetraj_tpu.models.embeddings import (
+    init_timestep_embedding,
+    sinusoidal_timestep_embedding,
+    timestep_embedding,
+)
+from posetraj_tpu.ops.attention import attention
+from posetraj_tpu.ops.primitives import geglu, group_norm, layer_norm, linear
+
+# ---------------------------------------------------------------------------
+# Attention projections (diffusers Attention, default config for SVD:
+# qkv bias False, out bias True)
+# ---------------------------------------------------------------------------
+
+
+def init_attention(
+    key: jax.Array,
+    query_dim: int,
+    heads: int,
+    cross_attention_dim: Optional[int] = None,
+    inner_dim: Optional[int] = None,
+    qkv_bias: bool = False,
+    out_bias: bool = True,
+) -> dict:
+    inner = inner_dim or query_dim
+    kv_dim = cross_attention_dim or query_dim
+    ks = rsplit(key, 4)
+    return {
+        "to_q": linear_init(ks[0], query_dim, inner, use_bias=qkv_bias),
+        "to_k": linear_init(ks[1], kv_dim, inner, use_bias=qkv_bias),
+        "to_v": linear_init(ks[2], kv_dim, inner, use_bias=qkv_bias),
+        "to_out": linear_init(ks[3], inner, query_dim, use_bias=out_bias),
+    }
+
+
+def attention_module(
+    params: dict,
+    x: jax.Array,
+    num_heads: int,
+    context: Optional[jax.Array] = None,
+    backend: str = "auto",
+    compute_dtype=None,
+) -> jax.Array:
+    ctx = context if context is not None else x
+    q = linear(params["to_q"], x, compute_dtype)
+    k = linear(params["to_k"], ctx, compute_dtype)
+    v = linear(params["to_v"], ctx, compute_dtype)
+    out = attention(q, k, v, num_heads, backend=backend)
+    return linear(params["to_out"], out, compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# FeedForward (GEGLU)
+# ---------------------------------------------------------------------------
+
+
+def init_feed_forward(key: jax.Array, dim: int, dim_out: Optional[int] = None, mult: int = 4) -> dict:
+    inner = dim * mult
+    k1, k2 = rsplit(key)
+    return {
+        "proj_in": linear_init(k1, dim, inner * 2),  # GEGLU fused proj
+        "proj_out": linear_init(k2, inner, dim_out or dim),
+    }
+
+
+def feed_forward(params: dict, x: jax.Array, compute_dtype=None) -> jax.Array:
+    return linear(params["proj_out"], geglu(params["proj_in"], x, compute_dtype), compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# BasicTransformerBlock (spatial: self-attn + cross-attn + GEGLU FF)
+# ---------------------------------------------------------------------------
+
+
+def init_basic_transformer_block(
+    key: jax.Array,
+    dim: int,
+    num_heads: int,
+    cross_attention_dim: Optional[int],
+) -> dict:
+    ks = rsplit(key, 3)
+    p = {
+        "norm1": norm_init(dim),
+        "attn1": init_attention(ks[0], dim, num_heads),
+        "norm3": norm_init(dim),
+        "ff": init_feed_forward(ks[2], dim),
+    }
+    if cross_attention_dim is not None:
+        p["norm2"] = norm_init(dim)
+        p["attn2"] = init_attention(ks[1], dim, num_heads, cross_attention_dim=cross_attention_dim)
+    return p
+
+
+def basic_transformer_block(
+    params: dict,
+    x: jax.Array,
+    num_heads: int,
+    context: Optional[jax.Array] = None,
+    backend: str = "auto",
+    compute_dtype=None,
+) -> jax.Array:
+    h = layer_norm(params["norm1"], x)
+    x = x + attention_module(params["attn1"], h, num_heads, backend=backend, compute_dtype=compute_dtype)
+    if "attn2" in params:
+        h = layer_norm(params["norm2"], x)
+        x = x + attention_module(
+            params["attn2"], h, num_heads, context=context, backend=backend, compute_dtype=compute_dtype
+        )
+    h = layer_norm(params["norm3"], x)
+    return x + feed_forward(params["ff"], h, compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# TemporalBasicTransformerBlock (attention over the frame axis per pixel)
+# ---------------------------------------------------------------------------
+
+
+def init_temporal_basic_transformer_block(
+    key: jax.Array,
+    dim: int,
+    num_heads: int,
+    cross_attention_dim: Optional[int],
+) -> dict:
+    # time_mix_inner_dim == dim in SVD, so is_res is always True.
+    ks = rsplit(key, 4)
+    p = {
+        "norm_in": norm_init(dim),
+        "ff_in": init_feed_forward(ks[0], dim),
+        "norm1": norm_init(dim),
+        "attn1": init_attention(ks[1], dim, num_heads),
+        "norm3": norm_init(dim),
+        "ff": init_feed_forward(ks[3], dim),
+    }
+    if cross_attention_dim is not None:
+        p["norm2"] = norm_init(dim)
+        p["attn2"] = init_attention(ks[2], dim, num_heads, cross_attention_dim=cross_attention_dim)
+    return p
+
+
+def temporal_basic_transformer_block(
+    params: dict,
+    x: jax.Array,
+    num_frames: int,
+    num_heads: int,
+    context: Optional[jax.Array] = None,
+    compute_dtype=None,
+) -> jax.Array:
+    """x: (B*F, S, C) -> same. Internally transposes to (B*S, F, C)."""
+    bf, s, c = x.shape
+    b = bf // num_frames
+    x = x.reshape(b, num_frames, s, c).transpose(0, 2, 1, 3).reshape(b * s, num_frames, c)
+
+    residual = x
+    h = layer_norm(params["norm_in"], x)
+    h = feed_forward(params["ff_in"], h, compute_dtype)
+    x = h + residual  # is_res (dim == time_mix_inner_dim in SVD)
+
+    h = layer_norm(params["norm1"], x)
+    x = x + attention_module(params["attn1"], h, num_heads, backend="xla", compute_dtype=compute_dtype)
+    if "attn2" in params:
+        h = layer_norm(params["norm2"], x)
+        x = x + attention_module(
+            params["attn2"], h, num_heads, context=context, backend="xla", compute_dtype=compute_dtype
+        )
+    h = layer_norm(params["norm3"], x)
+    x = x + feed_forward(params["ff"], h, compute_dtype)
+
+    return x.reshape(b, s, num_frames, c).transpose(0, 2, 1, 3).reshape(bf, s, c)
+
+
+# ---------------------------------------------------------------------------
+# TransformerSpatioTemporalModel
+# ---------------------------------------------------------------------------
+
+
+def init_transformer_spatio_temporal(
+    key: jax.Array,
+    in_channels: int,
+    num_heads: int,
+    num_layers: int,
+    cross_attention_dim: Optional[int],
+) -> dict:
+    ks = rsplit(key, 2 * num_layers + 3)
+    p = {
+        "norm": norm_init(in_channels),
+        "proj_in": linear_init(ks[0], in_channels, in_channels),
+        "blocks": [
+            init_basic_transformer_block(ks[1 + i], in_channels, num_heads, cross_attention_dim)
+            for i in range(num_layers)
+        ],
+        "temporal_blocks": [
+            init_temporal_basic_transformer_block(
+                ks[1 + num_layers + i], in_channels, num_heads, cross_attention_dim
+            )
+            for i in range(num_layers)
+        ],
+        "time_pos_embed": init_timestep_embedding(
+            ks[-2], in_channels, in_channels * 4, out_dim=in_channels
+        ),
+        "time_mixer": {"mix_factor": jnp.asarray([0.5], jnp.float32)},
+        "proj_out": linear_init(ks[-1], in_channels, in_channels),
+    }
+    return p
+
+
+def transformer_spatio_temporal(
+    params: dict,
+    x: jax.Array,
+    context: jax.Array,
+    num_frames: int,
+    num_heads: int,
+    image_only_indicator: Optional[jax.Array] = None,
+    fidelity_time_context_order: bool = True,
+    backend: str = "auto",
+    compute_dtype=None,
+) -> jax.Array:
+    """x: (B*F, H, W, C); context: (B*F, 1, cross_dim) CLIP embedding.
+
+    norm -> proj_in -> [spatial block -> (+frame-pos emb) -> temporal block ->
+    AlphaBlender] x L -> proj_out -> +residual
+    (diffusers 0.24.0 TransformerSpatioTemporalModel.forward).
+    """
+    bf, hh, ww, c = x.shape
+    b = bf // num_frames
+    s = hh * ww
+
+    # Temporal cross-attn context: first-frame CLIP embedding per video.
+    ctx_first = context.reshape(b, num_frames, -1, context.shape[-1])[:, 0]  # (B, 1, D)
+    if fidelity_time_context_order:
+        # 0.24.0 ordering: (H*W, B, 1, D) -> (H*W*B, 1, D), sequence-major.
+        time_context = jnp.broadcast_to(ctx_first[None], (s, b) + ctx_first.shape[1:])
+        time_context = time_context.reshape(s * b, *ctx_first.shape[1:])
+    else:
+        time_context = jnp.broadcast_to(ctx_first[:, None], (b, s) + ctx_first.shape[1:])
+        time_context = time_context.reshape(b * s, *ctx_first.shape[1:])
+
+    residual = x
+    h = group_norm(params["norm"], x, eps=1e-6)
+    h = h.reshape(bf, s, c)
+    h = linear(params["proj_in"], h, compute_dtype)
+
+    # Frame-position embedding added before each temporal block.
+    frame_ids = jnp.tile(jnp.arange(num_frames, dtype=jnp.float32), (b,))  # (B*F,)
+    t_emb = sinusoidal_timestep_embedding(frame_ids, c)
+    emb = timestep_embedding(params["time_pos_embed"], t_emb.astype(h.dtype), compute_dtype)
+    emb = emb[:, None, :]
+
+    for block_p, tblock_p in zip(params["blocks"], params["temporal_blocks"]):
+        h = basic_transformer_block(
+            block_p, h, num_heads, context=context, backend=backend, compute_dtype=compute_dtype
+        )
+        h_mix = h + emb
+        h_mix = temporal_basic_transformer_block(
+            tblock_p, h_mix, num_frames, num_heads, context=time_context, compute_dtype=compute_dtype
+        )
+        from posetraj_tpu.models.resnet import alpha_blend
+
+        h = alpha_blend(
+            params["time_mixer"], h, h_mix, image_only_indicator, merge_strategy="learned_with_images"
+        )
+
+    h = linear(params["proj_out"], h, compute_dtype)
+    return h.reshape(bf, hh, ww, c) + residual

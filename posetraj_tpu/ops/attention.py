@@ -1,0 +1,70 @@
+"""Scaled-dot-product attention core with pluggable backends.
+
+The reference leans on torch/xformers SDPA (train_svd_traj_blender_14.py:925-937);
+here the default backend is XLA (fused on TPU via Mosaic-friendly einsums with
+fp32 softmax), with a Pallas flash-attention backend for the spatial-token hot
+path (posetraj_tpu/ops/pallas_attention.py). The SVD workload has two very
+different shapes (SURVEY.md section 3.4):
+
+  * spatial attention: seq = h*w tokens (720..9216), batch = B*F
+  * temporal attention: seq = num_frames (14), batch = B*H*W (huge)
+
+Both route through this entry point; the backend picks per-shape strategy.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    """(B, S, N, H) attention with fp32 logits/softmax."""
+    logits = jnp.einsum("bqnh,bknh->bnqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits.astype(jnp.float32) * scale, axis=-1)
+    out = jnp.einsum("bnqk,bknh->bqnh", probs.astype(q.dtype), v, preferred_element_type=q.dtype)
+    return out
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    scale: Optional[float] = None,
+    backend: str = "auto",
+) -> jax.Array:
+    """Multi-head SDPA over flat (B, S, D_model) q and (B, S_kv, D_model) k/v.
+
+    Returns (B, S, D_model). `backend`: "auto" | "xla" | "pallas".
+    """
+    b, sq, d = q.shape
+    head_dim = d // num_heads
+    if scale is None:
+        scale = head_dim**-0.5
+    qh = q.reshape(b, sq, num_heads, head_dim)
+    kh = k.reshape(b, k.shape[1], num_heads, head_dim)
+    vh = v.reshape(b, v.shape[1], num_heads, head_dim)
+
+    if backend == "auto":
+        # Pallas flash attention pays off for long spatial sequences on TPU;
+        # tiny-seq (temporal, 14 tokens) and cross-attn (kv_len=1) stay XLA.
+        backend = "xla"
+        if (
+            jax.default_backend() == "tpu"
+            and sq >= 512
+            and k.shape[1] == sq
+            and head_dim % 64 == 0  # MXU-aligned head dim only
+        ):
+            backend = "pallas"
+
+    if backend == "pallas":
+        from posetraj_tpu.ops.pallas_attention import flash_attention
+
+        out = flash_attention(qh, kh, vh, scale=scale)
+    else:
+        out = _xla_attention(qh, kh, vh, scale)
+    return out.reshape(b, sq, d)

@@ -1,0 +1,146 @@
+"""NN primitive ops, channels-last (NHWC), mixed-precision aware.
+
+TPU-first conventions:
+  * Convs run NHWC / HWIO — the MXU-friendly layout XLA tiles best — instead
+    of the reference's torch NCHW.
+  * Matmuls/convs run in the policy compute dtype (bf16 by default); all
+    normalization statistics are computed in fp32.
+  * Video tensors are (B, F, H, W, C); spatial ops fold frames into batch
+    ((B*F, H, W, C)) exactly like the reference's flatten(0, 1)
+    (unet_spatio_temporal_condition_controlnet.py:421) but at the caller.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def linear(params: dict, x: jax.Array, compute_dtype=None) -> jax.Array:
+    """y = x @ W + b with W stored (in, out)."""
+    dt = compute_dtype or x.dtype
+    y = jnp.dot(x.astype(dt), params["kernel"].astype(dt), preferred_element_type=dt)
+    if "bias" in params:
+        y = y + params["bias"].astype(dt)
+    return y
+
+
+def conv2d(
+    params: dict,
+    x: jax.Array,
+    stride: int = 1,
+    padding="SAME",
+    compute_dtype=None,
+) -> jax.Array:
+    """2D conv over (N, H, W, C) with HWIO kernel.
+
+    `padding` accepts "SAME"/"VALID" or an explicit ((top,bottom),(left,right))
+    pair — the VAE downsampler needs torch's asymmetric pad (0,1,0,1).
+    """
+    dt = compute_dtype or x.dtype
+    y = lax.conv_general_dilated(
+        x.astype(dt),
+        params["kernel"].astype(dt),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dt,
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(dt)
+    return y
+
+
+def conv3d_temporal(params: dict, x: jax.Array, compute_dtype=None) -> jax.Array:
+    """Temporal conv with kernel (kf, 1, 1) over (N, F, H, W, C).
+
+    Replaces the reference's torch Conv3d (3,1,1) in TemporalResnetBlock /
+    the VAE time_conv_out (diffusers==0.24.0 resnet.py TemporalResnetBlock).
+    Kernel layout: (kf, 1, 1, in, out).
+    """
+    dt = compute_dtype or x.dtype
+    y = lax.conv_general_dilated(
+        x.astype(dt),
+        params["kernel"].astype(dt),
+        window_strides=(1, 1, 1),
+        padding=((params["kernel"].shape[0] // 2,) * 2, (0, 0), (0, 0)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=dt,
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(dt)
+    return y
+
+
+def group_norm(params: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e-5) -> jax.Array:
+    """GroupNorm over channels-last input, stats in fp32.
+
+    x: (..., C) with C % num_groups == 0; normalizes over all non-leading-batch
+    spatial dims + the within-group channel dim, matching torch GroupNorm on
+    (N, C, *spatial).
+    """
+    orig_dtype = x.dtype
+    n = x.shape[0]
+    c = x.shape[-1]
+    if c % num_groups != 0:
+        # Tiny test configs have fewer channels than the standard 32 groups;
+        # fall back to the largest divisor (real configs are untouched).
+        import math
+
+        num_groups = math.gcd(c, num_groups)
+    xf = x.astype(jnp.float32).reshape(n, -1, num_groups, c // num_groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    xf = (xf - mean) * lax.rsqrt(var + eps)
+    xf = xf.reshape(x.shape)
+    out = xf * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return out.astype(orig_dtype)
+
+
+def layer_norm(params: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm over the last dim, stats in fp32."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    out = (xf - mean) * lax.rsqrt(var + eps)
+    out = out * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return out.astype(orig_dtype)
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return jax.nn.silu(x)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    # torch nn.GELU default is the exact erf form; diffusers GEGLU uses F.gelu.
+    return jax.nn.gelu(x, approximate=False)
+
+
+def geglu(params: dict, x: jax.Array, compute_dtype=None) -> jax.Array:
+    """GEGLU feed-forward gate (diffusers attention.py GEGLU): one fused
+    projection to 2*inner, split, gelu-gate."""
+    h = linear(params, x, compute_dtype)
+    h, gate = jnp.split(h, 2, axis=-1)
+    return h * gelu(gate)
+
+
+def downsample_2x(params: dict, x: jax.Array, asymmetric_pad: bool = False, compute_dtype=None) -> jax.Array:
+    """Stride-2 3x3 conv downsample (diffusers Downsample2D, use_conv=True).
+
+    UNet blocks use padding=1 (SAME for odd sizes); the VAE encoder uses
+    padding=0 with manual (0,1,0,1) pad — `asymmetric_pad=True`.
+    """
+    if asymmetric_pad:
+        pad = ((0, 1), (0, 1))
+    else:
+        pad = ((1, 1), (1, 1))
+    return conv2d(params, x, stride=2, padding=pad, compute_dtype=compute_dtype)
+
+
+def upsample_nearest_2x(params: dict, x: jax.Array, compute_dtype=None) -> jax.Array:
+    """Nearest x2 upsample + 3x3 conv (diffusers Upsample2D, use_conv=True)."""
+    n, h, w, c = x.shape
+    x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    return conv2d(params, x, stride=1, padding=((1, 1), (1, 1)), compute_dtype=compute_dtype)
