@@ -1,0 +1,82 @@
+"""End-to-end pipeline tests on a tiny bundle (the BASELINE smoke-config
+analogue: tiny models, few steps, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from posetraj_tpu.configs import PipelineConfig
+from posetraj_tpu.models import clip as clip_m
+from posetraj_tpu.models import controlnet as cn
+from posetraj_tpu.models import unet as unet_m
+from posetraj_tpu.models import vae as vae_m
+from posetraj_tpu.pipeline import ModelBundle, SVDControlNetPipeline
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    bundle = ModelBundle.tiny()
+    key = jax.random.PRNGKey(0)
+    params = {
+        "unet": unet_m.init_unet(key, bundle.unet),
+        "controlnet": cn.init_controlnet(key, bundle.controlnet),
+        "vae": vae_m.init_vae(key, bundle.vae),
+        "clip": clip_m.init_clip_vision(key, bundle.clip),
+    }
+    return SVDControlNetPipeline(params, bundle)
+
+
+H, W, F = 64, 64, 2
+
+
+def test_pipeline_generates_video(tiny_pipeline):
+    image = np.random.RandomState(0).rand(1, H, W, 3).astype(np.float32)
+    control = np.zeros((1, F, H, W, 3), np.float32)
+    out = tiny_pipeline(image, control, height=H, width=W, num_frames=F, num_inference_steps=2, seed=1)
+    assert out.shape == (1, F, H, W, 3)
+    assert np.isfinite(out).all()
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_pipeline_deterministic_same_seed(tiny_pipeline):
+    image = np.random.RandomState(0).rand(1, H, W, 3).astype(np.float32)
+    control = np.zeros((1, F, H, W, 3), np.float32)
+    a = tiny_pipeline(image, control, height=H, width=W, num_frames=F, num_inference_steps=2, seed=7)
+    b = tiny_pipeline(image, control, height=H, width=W, num_frames=F, num_inference_steps=2, seed=7)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pipeline_noise_injection(tiny_pipeline):
+    """Injected noise bypasses the internal PRNG — the parity hook for
+    cross-framework golden-latent tests."""
+    image = np.random.RandomState(0).rand(1, H, W, 3).astype(np.float32)
+    control = np.zeros((1, F, H, W, 3), np.float32)
+    rng = np.random.RandomState(3)
+    noises = {
+        "latents": jnp.asarray(rng.randn(1, F, H // 8, W // 8, 4), jnp.float32),
+        "image_aug": jnp.asarray(rng.randn(1, H, W, 3), jnp.float32),
+    }
+    a = tiny_pipeline(image, control, height=H, width=W, num_frames=F, num_inference_steps=2, noises=noises)
+    b = tiny_pipeline(image, control, height=H, width=W, num_frames=F, num_inference_steps=2, noises=noises)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pipeline_latent_output_shape(tiny_pipeline):
+    image = np.random.RandomState(0).rand(1, H, W, 3).astype(np.float32)
+    control = np.zeros((1, F, H, W, 3), np.float32)
+    lat = tiny_pipeline(
+        image, control, height=H, width=W, num_frames=F, num_inference_steps=2, output_type="latent"
+    )
+    assert lat.shape == (1, F, H // 8, W // 8, 4)
+
+
+def test_control_signal_changes_output_only_when_nonzero_weights(tiny_pipeline):
+    """With freshly initialized (zero) ControlNet output heads, the control
+    video must have NO effect — the ControlNet starts as an exact no-op."""
+    image = np.random.RandomState(0).rand(1, H, W, 3).astype(np.float32)
+    control0 = np.zeros((1, F, H, W, 3), np.float32)
+    control1 = np.random.RandomState(1).rand(1, F, H, W, 3).astype(np.float32)
+    a = tiny_pipeline(image, control0, height=H, width=W, num_frames=F, num_inference_steps=2, seed=5)
+    b = tiny_pipeline(image, control1, height=H, width=W, num_frames=F, num_inference_steps=2, seed=5)
+    np.testing.assert_allclose(a, b, atol=1e-5)
