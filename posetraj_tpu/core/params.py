@@ -18,12 +18,13 @@ def cast(tree: PyTree, dtype) -> PyTree:
     return jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)
 
 
-def flatten_dict(tree: Dict, prefix: str = "", sep: str = ".") -> Dict[str, jax.Array]:
-    """Nested dict -> {"a.b.c": leaf} for weight conversion and audits."""
+def flatten_dict(tree, prefix: str = "", sep: str = ".") -> Dict[str, jax.Array]:
+    """Nested dict/list -> {"a.0.c": leaf} for weight conversion and audits."""
     out = {}
-    for k, v in tree.items():
+    items = tree.items() if isinstance(tree, dict) else enumerate(tree)
+    for k, v in items:
         key = f"{prefix}{sep}{k}" if prefix else str(k)
-        if isinstance(v, dict):
+        if isinstance(v, (dict, list)):
             out.update(flatten_dict(v, key, sep))
         else:
             out[key] = v
@@ -31,6 +32,7 @@ def flatten_dict(tree: Dict, prefix: str = "", sep: str = ".") -> Dict[str, jax.
 
 
 def unflatten_dict(flat: Dict[str, jax.Array], sep: str = ".") -> Dict:
+    """Inverse of flatten_dict; integer path segments rebuild lists."""
     out: Dict = {}
     for key, v in flat.items():
         parts = key.split(sep)
@@ -38,7 +40,16 @@ def unflatten_dict(flat: Dict[str, jax.Array], sep: str = ".") -> Dict:
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = v
-    return out
+
+    def fix(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: fix(v) for k, v in node.items()}
+        if node and all(k.isdigit() for k in node):
+            return [node[str(i)] for i in range(len(node))]
+        return node
+
+    return fix(out)
 
 
 def ema_update(ema: PyTree, new: PyTree, decay: float) -> PyTree:

@@ -1,0 +1,281 @@
+"""Dataset loaders: PoseTraj-10k (Blender) and VIPSeg+CoTracker real videos.
+
+Host-side numpy loaders mirroring the reference's torch Datasets
+(utils/dataset.py: Trajectory_blender_Data :249-445, Trajectory_VIPSeg_Data
+:659-862) without the torch dependency: each __getitem__ returns a dict of
+channels-last float32 arrays ready for the trainer
+(posetraj_tpu/train/trainer.py batch contract). A minimal shuffling batch
+iterator stands in for DataLoader; plug into grain/tf.data for production IO.
+
+Shared behaviors reproduced:
+  * random 14-frame window per sample, `repeat_times` epochs-per-video
+  * normalization /255 then (x-0.5)/0.5 -> [-1,1]; resize only, no crop/flip
+  * final control frame is black padding
+  * missing/short videos filtered at scan time; missing camera npy -> zeros;
+    NaN camera translation -> zeros; random camera zero-mask at
+    cam_mask_ratio; optional first-frame normalization
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from posetraj_tpu.data.trajectories import load_cotracker_json
+from posetraj_tpu.ops.rasterize import rasterize_cv2, scale_trajectories
+
+
+def _load_image(path: str, size_hw: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    if size_hw is not None:
+        img = img.resize((size_hw[1], size_hw[0]), Image.BILINEAR)
+    return np.asarray(img, np.float32)
+
+
+def _normalize(x: np.ndarray) -> np.ndarray:
+    """uint8-range -> [-1,1] (dataset.py:727-732 Normalize(0.5, 0.5))."""
+    return x / 255.0 * 2.0 - 1.0
+
+
+class TrajectoryBlenderDataset:
+    """PoseTraj-10k loader (stage-1 pretrain data).
+
+    Layout per video folder: images/ (or images_bbox/, depth_maps/),
+    traj_vid_enhanced/ (pre-rendered trajectory frames), optional bbox/,
+    bbox.npy, traj.npy (reference dataset.py:249-445; produced by
+    posetraj_tpu/data/blender_contract.py-described renders).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        sample_size: Tuple[int, int] = (320, 576),
+        repeat_times: int = 2,
+        frame_length: int = 14,
+        images_bbox: bool = False,
+        depth_mode: bool = False,
+        depth_bbox: bool = False,
+        return_rot: bool = False,
+        return_bbox: bool = False,
+        filter_num: int = -1,
+        cut_num: int = -1,
+        seed: Optional[int] = None,
+    ):
+        self.path = path
+        if images_bbox:
+            self.images_folder = "images_bbox"
+        elif depth_mode:
+            self.images_folder = "depth_maps_bbox" if depth_bbox else "depth_maps"
+        else:
+            self.images_folder = "images"
+        self.sample_size = sample_size
+        self.repeat_times = repeat_times
+        self.frame_length = frame_length
+        self.return_rot = return_rot
+        self.return_bbox = return_bbox
+        self.rng = random.Random(seed)
+
+        vids = sorted(os.listdir(path))
+        if filter_num != -1:
+            vids = [v for v in vids if int(v.split("_")[-2]) < filter_num]
+        self.vids: List[str] = []
+        self.vid_lengths: List[int] = []
+        for v in vids:
+            traj_dir = os.path.join(path, v, "traj_vid_enhanced")
+            if not os.path.isdir(traj_dir):
+                continue
+            # last rendered frame is reserved (reference counts len-1, :300-303)
+            n = len(os.listdir(traj_dir)) - 1
+            if n >= frame_length:
+                self.vids.append(v)
+                self.vid_lengths.append(n)
+        if cut_num > 0:
+            self.vids = self.vids[:cut_num]
+            self.vid_lengths = self.vid_lengths[:cut_num]
+
+    def __len__(self) -> int:
+        return len(self.vids) * self.repeat_times
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        vid_idx = index // self.repeat_times
+        name = self.vids[vid_idx]
+        start = self.rng.randint(0, self.vid_lengths[vid_idx] - self.frame_length)
+        vdir = os.path.join(self.path, name)
+
+        frames_list = sorted(os.listdir(os.path.join(vdir, self.images_folder)))
+        traj_list = sorted(os.listdir(os.path.join(vdir, "traj_vid_enhanced")))
+
+        frames = np.stack(
+            [
+                _load_image(os.path.join(vdir, self.images_folder, frames_list[i]), self.sample_size)
+                for i in range(start, start + self.frame_length)
+            ]
+        )
+        # frame_length-1 rendered control frames + black pad (:365-384)
+        trajs = [
+            _load_image(os.path.join(vdir, "traj_vid_enhanced", traj_list[i]), self.sample_size)
+            for i in range(start, start + self.frame_length - 1)
+        ]
+        trajs.append(np.zeros_like(trajs[0]))
+        trajs = np.stack(trajs)
+
+        sample = {
+            "pixel_values": _normalize(frames),
+            "trajectories": _normalize(trajs),
+            "motion_values": np.float32(128.0),
+            "img_key": f"{name}_{vid_idx}_{start}",
+        }
+        if self.return_rot:
+            # rotation class from the trajectory-type folder suffix (:335-341)
+            sample["rot_id"] = np.int32(0 if name.split("_")[-1] == "line" else 1)
+        if self.return_bbox:
+            bbox = _load_image(os.path.join(vdir, "bbox", traj_list[start]), self.sample_size)
+            sample["bbox_trajectories"] = np.broadcast_to(
+                _normalize(bbox)[None], trajs.shape
+            ).copy()
+        return sample
+
+
+class TrajectoryVIPSegDataset:
+    """VIPSeg real-video loader with on-the-fly CoTracker rasterization
+    (dataset.py:659-862) and optional per-frame camera extrinsics."""
+
+    def __init__(
+        self,
+        path: str,
+        split_file: str,
+        sample_size: Tuple[int, int] = (320, 576),
+        repeat_times: int = 4,
+        frame_length: int = 14,
+        return_cam: bool = False,
+        camera_path: Optional[str] = None,
+        cam_mask_ratio: float = 0.0,
+        cam_norm: bool = False,
+        fidelity_bgr_swap: bool = True,
+        seed: Optional[int] = None,
+    ):
+        self.path = path
+        self.traj_dir = os.path.join(path, "trajectory_CoTracker_all")
+        self.images_dir = os.path.join(path, "imgs")
+        self.sample_size = sample_size
+        self.repeat_times = repeat_times
+        self.frame_length = frame_length
+        self.return_cam = return_cam
+        self.camera_path = camera_path
+        self.cam_mask_ratio = cam_mask_ratio
+        self.cam_norm = cam_norm
+        self.fidelity_bgr_swap = fidelity_bgr_swap
+        self.rng = random.Random(seed)
+
+        with open(split_file) as f:
+            wanted = {line.strip() for line in f if line.strip()}
+        self.vids: List[str] = []
+        self.vid_lengths: List[int] = []
+        for v in sorted(os.listdir(self.images_dir)) if os.path.isdir(self.images_dir) else []:
+            if v not in wanted:
+                continue
+            anno = os.path.join(self.traj_dir, f"{v}.json")
+            if not os.path.exists(anno):
+                continue
+            traj = load_cotracker_json(anno)
+            n = len(next(iter(traj.values()))) if traj else 0
+            if n >= frame_length:
+                self.vids.append(v)
+                self.vid_lengths.append(n)
+
+    def __len__(self) -> int:
+        return len(self.vids) * self.repeat_times
+
+    def _camera(self, name: str, start: int) -> np.ndarray:
+        f = self.frame_length
+        cam = np.zeros((f, 12), np.float32)
+        if self.camera_path:
+            npy = os.path.join(self.camera_path, name, "camera.npy")
+            if os.path.exists(npy):
+                d = np.load(npy, allow_pickle=True).item()
+                r = np.asarray(d["pred_cam_R"], np.float32).reshape(len(d["pred_cam_R"]), -1)
+                t = np.asarray(d["pred_cam_T"], np.float32)
+                if np.isnan(t).any():  # NaN translation -> zeros (:809-810)
+                    t = np.zeros_like(t)
+                cam = np.concatenate([r, t], axis=-1)[start : start + f].astype(np.float32)
+        if self.rng.random() < self.cam_mask_ratio:  # random zero-mask (:813-814)
+            cam = np.zeros((f, 12), np.float32)
+        if self.cam_norm:  # first-frame normalization (:818-819)
+            cam = cam - cam[0]
+        return cam
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        vid_idx = index // self.repeat_times
+        name = self.vids[vid_idx]
+        start = self.rng.randint(0, self.vid_lengths[vid_idx] - self.frame_length)
+
+        frame_files = sorted(os.listdir(os.path.join(self.images_dir, name)))
+        first = _load_image(os.path.join(self.images_dir, name, frame_files[start]))
+        src_hw = first.shape[:2]
+        frames = np.stack(
+            [first]
+            + [
+                _load_image(os.path.join(self.images_dir, name, frame_files[i]))
+                for i in range(start + 1, start + self.frame_length)
+            ]
+        )
+        # Resize after load (reference resizes the tensor, :729)
+        from PIL import Image
+
+        frames = np.stack(
+            [
+                np.asarray(
+                    Image.fromarray(fr.astype(np.uint8)).resize(
+                        (self.sample_size[1], self.sample_size[0]), Image.BILINEAR
+                    ),
+                    np.float32,
+                )
+                for fr in frames
+            ]
+        )
+
+        traj = load_cotracker_json(os.path.join(self.traj_dir, f"{name}.json"))
+        pts = np.stack([np.asarray(v, np.float32) for v in traj.values()])  # (K, T, 2)
+        pts = scale_trajectories(pts[:, start : start + self.frame_length], src_hw, self.sample_size)
+        control = rasterize_cv2(
+            pts, self.frame_length, self.sample_size, fidelity_bgr_swap=self.fidelity_bgr_swap
+        ).astype(np.float32)
+
+        sample = {
+            "pixel_values": _normalize(frames),
+            "trajectories": _normalize(control),
+            "motion_values": np.float32(128.0),
+            "img_key": f"{name}_{vid_idx}_{start}",
+        }
+        if self.return_cam:
+            sample["cam_parameter"] = self._camera(name, start)
+        return sample
+
+
+def batch_iterator(
+    dataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_keys: Sequence[str] = ("img_key",),
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Minimal epoch iterator collating dict samples into stacked batches.
+    Stands in for the reference's DataLoader(num_workers=8); swap for grain /
+    tf.data for production input pipelines."""
+    order = list(range(len(dataset)))
+    rng = random.Random(seed)
+    if shuffle:
+        rng.shuffle(order)
+    for i in range(0, len(order) - batch_size + 1, batch_size):
+        samples = [dataset[j] for j in order[i : i + batch_size]]
+        batch = {}
+        for k in samples[0]:
+            if k in drop_keys:
+                continue
+            batch[k] = np.stack([np.asarray(s[k]) for s in samples])
+        yield batch

@@ -57,7 +57,8 @@ def attention(
             jax.default_backend() == "tpu"
             and sq >= 512
             and k.shape[1] == sq
-            and head_dim % 64 == 0  # MXU-aligned head dim only
+            and head_dim % 64 == 0
+            and head_dim <= 128  # MXU-aligned; big-head (VAE) stays XLA
         ):
             backend = "pallas"
 

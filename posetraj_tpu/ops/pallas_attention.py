@@ -1,0 +1,112 @@
+"""Pallas TPU flash attention for the SVD spatial-token hot path.
+
+The UNet/ControlNet spend their attention FLOPs in two very different shapes
+(SURVEY.md 3.4): spatial self-attention over h*w tokens (720..9216, head_dim
+64 at every level: 320/5, 640/10, 1280/20) and temporal attention over 14
+frame-tokens with huge batch. This kernel targets the spatial shape: online-
+softmax (flash) over K/V blocks so VMEM stays bounded at any sequence length;
+the tiny-seq temporal shape stays on the XLA path where a flash decomposition
+would only add overhead (ops/attention.py dispatch).
+
+Replaces the torch/xformers SDPA the reference relies on
+(train_svd_traj_blender_14.py:925-937).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, s_len: int):
+    """One (batch*head, q-block) program: online softmax over K/V blocks.
+
+    q_ref: (1, block_q, H); k_ref/v_ref: (1, S_pad, H); o_ref: (1, block_q, H).
+    """
+    q = q_ref[0].astype(jnp.float32) * scale  # (bq, H)
+    block_q, head_dim = q.shape
+    s_pad = k_ref.shape[1]
+    num_kb = s_pad // block_k
+
+    def body(j, carry):
+        m, l, acc = carry
+        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)  # (bk, H)
+        v_blk = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, bk)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+        s = jnp.where(col < s_len, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, head_dim), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Self-attention over (B, S, N, H) q/k/v with equal q/kv lengths.
+
+    Returns (B, S, N, H) in q.dtype. Sequences are padded to the block grid;
+    padded K columns are masked inside the kernel, padded Q rows sliced off.
+    """
+    b, s, n, h = q.shape
+    # Fold heads into batch; kernel operates on (B*N, S, H).
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * n, s, h)
+
+    qf, kf, vf = fold(q), fold(k), fold(v)
+
+    block_q = min(block_q, _round_up(s, 128))
+    block_k = min(block_k, _round_up(s, 128))
+    s_pad = _round_up(s, max(block_q, block_k))
+    if s_pad != s:
+        pad = ((0, 0), (0, s_pad - s), (0, 0))
+        qf = jnp.pad(qf, pad)
+        kf = jnp.pad(kf, pad)
+        vf = jnp.pad(vf, pad)
+
+    grid = (b * n, s_pad // block_q)
+    kernel = functools.partial(_flash_kernel, scale=scale, block_k=block_k, s_len=s)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, h), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, s_pad, h), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, s_pad, h), lambda bi, qi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, h), lambda bi, qi: (bi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * n, s_pad, h), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf)
+
+    out = out[:, :s, :].reshape(b, n, s, h).transpose(0, 2, 1, 3)
+    return out

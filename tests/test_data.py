@@ -1,0 +1,164 @@
+"""Data layer tests: rasterizer parity/quirks, dataset loaders on synthetic
+fixtures, exporters."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from posetraj_tpu.data import TrajectoryBlenderDataset, TrajectoryVIPSegDataset, export
+from posetraj_tpu.data.datasets import batch_iterator
+from posetraj_tpu.data.trajectories import trajectories_to_array, scale_to_target
+from posetraj_tpu.ops.rasterize import rasterize_cv2, rasterize_video_xla
+
+
+# ---------------------------------------------------------------------------
+# Rasterizer
+# ---------------------------------------------------------------------------
+
+
+def test_rasterize_cv2_shapes_and_black_pad():
+    traj = np.asarray([[[10, 10], [20, 20], [30, 30], [40, 40]]], np.float32)
+    out = rasterize_cv2(traj, num_frames=4, size=(64, 64))
+    assert out.shape == (4, 64, 64, 3)
+    assert out[-1].sum() == 0  # final black frame (run_inference...repro.py:448-449)
+    assert out[0].sum() > 0
+
+
+def test_rasterize_cv2_bgr_swap_quirk():
+    """Q5: with 2 trajectories, the first-drawn line ends blue, the last red
+    (BGR->RGB conversion inside the per-trajectory loop, dataset.py:762)."""
+    t1 = np.asarray([[[5, 5], [20, 5]]], np.float32)
+    t2 = np.asarray([[[5, 40], [20, 40]]], np.float32)
+    both = np.concatenate([t1, t2])
+    img = rasterize_cv2(both, num_frames=2, size=(64, 64), fidelity_bgr_swap=True)[0]
+    # trajectory 0 swapped twice -> stays at cv2's BGR red = channel 2 in RGB
+    # order... concretely: row 5 (traj 0) ends with color (0,0,255) -> blue in
+    # RGB; row 40 (traj 1) swapped once -> (255,0,0) red.
+    assert img[5, 10, 2] == 255 and img[5, 10, 0] == 0  # blue line
+    assert img[40, 10, 0] == 255 and img[40, 10, 2] == 0  # red line
+    clean = rasterize_cv2(both, num_frames=2, size=(64, 64), fidelity_bgr_swap=False)[0]
+    assert clean[5, 10, 0] == 255 and clean[40, 10, 0] == 255  # both red
+
+
+def test_rasterize_xla_matches_cv2_roughly():
+    """XLA hard mode vs cv2: same support (lines/circles in the same places)."""
+    traj = np.asarray([[[10.0, 12.0], [40.0, 44.0], [50.0, 20.0]]], np.float32)
+    ref = rasterize_cv2(traj, num_frames=3, size=(64, 64), fidelity_bgr_swap=False)
+    got = np.asarray(
+        rasterize_video_xla(traj, np.ones((1,), bool), 3, 64, 64, mode="hard")
+    )
+    assert got.shape == (3, 64, 64, 3)
+    assert got[-1].sum() == 0
+    for f in range(2):
+        ref_mask = ref[f].sum(-1) > 0
+        got_mask = got[f].sum(-1) > 0
+        inter = (ref_mask & got_mask).sum()
+        union = (ref_mask | got_mask).sum()
+        assert inter / union > 0.6, f"frame {f}: IoU {inter/union:.2f}"
+
+
+def test_rasterize_xla_gaussian_heatmap():
+    traj = np.asarray([[[32.0, 32.0], [32.0, 32.0]]], np.float32)
+    out = np.asarray(
+        rasterize_video_xla(traj, np.ones((1,), bool), 2, 64, 64, mode="gaussian", sigma=3.0)
+    )
+    g = out[0, :, :, 1]
+    assert g[32, 32] == pytest.approx(1.0, abs=1e-5)  # peak at the endpoint
+    assert g[32, 42] < 0.01  # decays
+
+
+def test_trajectory_array_and_scaling():
+    tj = {"0": [[10, 20], [30, 40]], "1": [[1, 2], [3, 4]]}
+    arr = trajectories_to_array(tj)
+    assert arr.shape == (2, 2, 2)
+    scaled = scale_to_target(arr, (100, 200), (50, 100))
+    np.testing.assert_allclose(scaled[0, 0], [5, 10])
+
+
+# ---------------------------------------------------------------------------
+# Datasets on synthetic fixtures
+# ---------------------------------------------------------------------------
+
+
+def _make_blender_fixture(root, n_videos=2, n_frames=6):
+    from PIL import Image
+
+    for v in range(n_videos):
+        name = f"obj_{v}_circle"
+        for sub in ("images", "traj_vid_enhanced"):
+            d = os.path.join(root, name, sub)
+            os.makedirs(d, exist_ok=True)
+            for i in range(n_frames + 1):
+                arr = (np.random.RandomState(v * 100 + i).rand(48, 80, 3) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(os.path.join(d, f"{i:04d}.png"))
+    return root
+
+
+def test_blender_dataset(tmp_path):
+    root = _make_blender_fixture(str(tmp_path))
+    ds = TrajectoryBlenderDataset(root, sample_size=(32, 64), frame_length=4, seed=0, return_rot=True)
+    assert len(ds) == 4  # 2 videos x repeat 2
+    s = ds[0]
+    assert s["pixel_values"].shape == (4, 32, 64, 3)
+    assert s["trajectories"].shape == (4, 32, 64, 3)
+    assert s["trajectories"][-1].min() == -1.0 and s["trajectories"][-1].max() == -1.0  # black pad
+    assert -1.0 <= s["pixel_values"].min() and s["pixel_values"].max() <= 1.0
+    assert s["rot_id"] == 1  # "circle" suffix
+
+
+def _make_vipseg_fixture(root, n_frames=6):
+    from PIL import Image
+
+    name = "vid_a"
+    os.makedirs(os.path.join(root, "imgs", name), exist_ok=True)
+    os.makedirs(os.path.join(root, "trajectory_CoTracker_all"), exist_ok=True)
+    for i in range(n_frames):
+        arr = (np.random.RandomState(i).rand(60, 100, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(root, "imgs", name, f"{i:04d}.jpg"))
+    traj = {"0": [[10 + 5 * i, 20 + 3 * i] for i in range(n_frames)]}
+    with open(os.path.join(root, "trajectory_CoTracker_all", f"{name}.json"), "w") as f:
+        json.dump(traj, f)
+    split = os.path.join(root, "train.txt")
+    with open(split, "w") as f:
+        f.write(name + "\n")
+    return root, split
+
+
+def test_vipseg_dataset(tmp_path):
+    root, split = _make_vipseg_fixture(str(tmp_path))
+    ds = TrajectoryVIPSegDataset(root, split, sample_size=(32, 64), frame_length=4, seed=0,
+                                 return_cam=True, cam_mask_ratio=0.0)
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["pixel_values"].shape == (4, 32, 64, 3)
+    assert s["trajectories"].shape == (4, 32, 64, 3)
+    assert s["cam_parameter"].shape == (4, 12)
+    np.testing.assert_allclose(s["cam_parameter"], 0.0)  # no camera.npy -> zeros
+
+
+def test_batch_iterator(tmp_path):
+    root = _make_blender_fixture(str(tmp_path))
+    ds = TrajectoryBlenderDataset(root, sample_size=(32, 64), frame_length=4, seed=0)
+    batches = list(batch_iterator(ds, batch_size=2, seed=0))
+    assert len(batches) == 2
+    assert batches[0]["pixel_values"].shape == (2, 4, 32, 64, 3)
+    assert "img_key" not in batches[0]
+
+
+# ---------------------------------------------------------------------------
+# Export
+# ---------------------------------------------------------------------------
+
+
+def test_exporters(tmp_path):
+    frames = np.random.RandomState(0).rand(3, 16, 16, 3).astype(np.float32)
+    paths = export.export_to_images(frames, str(tmp_path / "imgs"))
+    assert len(paths) == 3 and os.path.exists(paths[0])
+    gif = export.export_to_gif(frames, str(tmp_path / "a.gif"))
+    assert os.path.getsize(gif) > 0
+    sbs = export.save_side_by_side_gif([frames, frames], str(tmp_path / "b.gif"))
+    assert os.path.getsize(sbs) > 0
+    grid = export.save_videos_grid(np.stack([frames, frames, frames]), str(tmp_path / "c.gif"))
+    assert os.path.getsize(grid) > 0

@@ -1,0 +1,35 @@
+"""Flash-attention kernel parity vs the XLA reference path (interpret mode on
+CPU; the same kernel compiles via Mosaic on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from posetraj_tpu.ops.attention import _xla_attention
+from posetraj_tpu.ops.pallas_attention import flash_attention
+
+
+@pytest.mark.parametrize("s,h,n", [(128, 64, 2), (300, 64, 1), (1024, 128, 2)])
+def test_flash_matches_xla(s, h, n):
+    rng = np.random.RandomState(0)
+    b = 2
+    q = jnp.asarray(rng.randn(b, s, n, h), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, n, h), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, n, h), jnp.float32)
+    scale = h**-0.5
+    expect = _xla_attention(q, k, v, scale)
+    got = flash_attention(q, k, v, scale=scale, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=5e-3, rtol=1e-2)  # interpret mode emulates TPU bf16 matmul precision
+
+
+def test_flash_ragged_tail_masked():
+    """Non-multiple-of-block sequence: padded K columns must not leak."""
+    rng = np.random.RandomState(1)
+    b, s, n, h = 1, 130, 1, 64
+    q = jnp.asarray(rng.randn(b, s, n, h), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, n, h), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, n, h), jnp.float32)
+    expect = _xla_attention(q, k, v, h**-0.5)
+    got = flash_attention(q, k, v, scale=h**-0.5, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=5e-3, rtol=1e-2)  # interpret mode emulates TPU bf16 matmul precision

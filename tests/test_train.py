@@ -1,0 +1,111 @@
+"""Trainer tests: loss math, single-step descent, sharded multi-device step
+on the virtual 8-device CPU mesh (SURVEY.md section 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from posetraj_tpu.configs import TrainConfig
+from posetraj_tpu.models import clip as clip_m
+from posetraj_tpu.models import controlnet as cn
+from posetraj_tpu.models import unet as unet_m
+from posetraj_tpu.models import vae as vae_m
+from posetraj_tpu.parallel import make_mesh
+from posetraj_tpu.pipeline import ModelBundle
+from posetraj_tpu.train import Trainer, edm_training_loss
+from posetraj_tpu.train.trainer import added_time_ids_train
+
+B, F, H, W = 2, 2, 64, 64  # pixel-space H, W (latent 8x8 after the VAE x8)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    bundle = ModelBundle.tiny()
+    key = jax.random.PRNGKey(0)
+    frozen = {
+        "unet": unet_m.init_unet(key, bundle.unet),
+        "vae": vae_m.init_vae(key, bundle.vae),
+        "clip": clip_m.init_clip_vision(key, bundle.clip),
+    }
+    cn_params = cn.init_controlnet(jax.random.PRNGKey(1), bundle.controlnet)
+    return bundle, frozen, cn_params
+
+
+def _batch(b=B):
+    rng = np.random.RandomState(0)
+    return {
+        "pixel_values": jnp.asarray(rng.rand(b, F, H, W, 3) * 2 - 1, jnp.float32),
+        "trajectories": jnp.asarray(rng.rand(b, F, H, W, 3) * 2 - 1, jnp.float32),
+        "motion_values": jnp.full((b,), 127.0),
+    }
+
+
+def test_added_time_ids_train_order():
+    """Q3: train order is [fps, noise_aug, motion]."""
+    ids = added_time_ids_train(jnp.asarray([127.0]), fps=6.0, noise_aug=0.02)
+    np.testing.assert_allclose(np.asarray(ids), [[6.0, 0.02, 127.0]], rtol=1e-6)
+
+
+def test_loss_finite_and_componentized(setup):
+    bundle, frozen, cn_params = setup
+    tcfg = TrainConfig(use_spatial_loss=True)
+    loss, metrics = jax.jit(
+        edm_training_loss, static_argnums=(2, 3), static_argnames=("compute_dtype",)
+    )(cn_params, frozen, bundle, tcfg, _batch(), jax.random.PRNGKey(0), compute_dtype=jnp.float32)
+    assert np.isfinite(float(loss))
+    assert float(metrics["loss_spatial"]) >= 0.0
+    assert abs(float(metrics["loss_video"]) + 0.5 * float(metrics["loss_spatial"]) - float(loss)) < 1e-4
+
+
+def test_train_step_updates_only_controlnet(setup):
+    bundle, frozen, cn_params = setup
+    tcfg = TrainConfig(gradient_accumulation_steps=1, use_spatial_loss=False, lr_warmup_steps=0,
+                       learning_rate=1e-3)
+    trainer = Trainer(bundle, tcfg, frozen, cn_params, compute_dtype=jnp.float32)
+    before = jax.tree_util.tree_leaves(trainer.state.controlnet_params)[0].copy()
+    metrics = trainer.step(_batch())
+    after = jax.tree_util.tree_leaves(trainer.state.controlnet_params)[0]
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(trainer.state.step) == 1
+    assert np.abs(np.asarray(after) - np.asarray(before)).max() > 0  # params moved
+    # EMA initialized and close to params after one step
+    assert trainer.state.ema_params is not None
+
+
+def test_grad_accumulation_defers_update(setup):
+    bundle, frozen, cn_params = setup
+    tcfg = TrainConfig(gradient_accumulation_steps=2, use_spatial_loss=False, lr_warmup_steps=0)
+    trainer = Trainer(bundle, tcfg, frozen, cn_params, compute_dtype=jnp.float32)
+    p0 = np.asarray(jax.tree_util.tree_leaves(trainer.state.controlnet_params)[0]).copy()
+    trainer.step(_batch())
+    p1 = np.asarray(jax.tree_util.tree_leaves(trainer.state.controlnet_params)[0])
+    np.testing.assert_array_equal(p0, p1)  # first micro-step: no update yet
+    trainer.step(_batch())
+    p2 = np.asarray(jax.tree_util.tree_leaves(trainer.state.controlnet_params)[0])
+    assert np.abs(p2 - p1).max() > 0  # second micro-step applies
+
+
+def test_sharded_train_step_on_8_device_mesh(setup):
+    """DP over 'data' x TP over 'model' on the virtual CPU mesh — the
+    multi-chip path the driver dry-runs."""
+    bundle, frozen, cn_params = setup
+    assert jax.device_count() >= 8, "conftest must expose 8 virtual devices"
+    mesh = make_mesh(n_data=4, n_model=2)
+    tcfg = TrainConfig(gradient_accumulation_steps=1, use_spatial_loss=False, lr_warmup_steps=0)
+    trainer = Trainer(bundle, tcfg, frozen, cn_params, mesh=mesh, compute_dtype=jnp.float32)
+    metrics = trainer.step(_batch(b=4))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(trainer.state.step) == 1
+
+
+def test_sharded_loss_matches_unsharded(setup):
+    bundle, frozen, cn_params = setup
+    tcfg = TrainConfig(gradient_accumulation_steps=1, use_spatial_loss=False, lr_warmup_steps=0)
+    batch = _batch(b=4)
+    t_single = Trainer(bundle, tcfg, frozen, cn_params, compute_dtype=jnp.float32)
+    m_single = t_single.step(batch)
+    mesh = make_mesh(n_data=4, n_model=2)
+    t_mesh = Trainer(bundle, tcfg, frozen, cn_params, mesh=mesh, compute_dtype=jnp.float32)
+    m_mesh = t_mesh.step(batch)
+    np.testing.assert_allclose(float(m_single["loss"]), float(m_mesh["loss"]), rtol=2e-3)
