@@ -99,19 +99,28 @@ def main():
         v = float(fn(*a, **kw))
         return time.perf_counter() - t0, v
 
+    import sys
+
     # Warmup (compile + first-execution session overhead), then measure.
-    timed(denoise, params, lat0, k=1)
-    timed(denoise, params, lat0, k=steps)
+    w1, _ = timed(denoise, params, lat0, k=1)
+    wk, _ = timed(denoise, params, lat0, k=steps)
     t1, _ = timed(denoise, params, lat0, k=1)
     tk, _ = timed(denoise, params, lat0, k=steps)
+    print(f"[bench] warm1={w1:.1f}s warmk={wk:.1f}s t1={t1:.3f}s tk={tk:.3f}s", file=sys.stderr)
     step_time = max(tk - t1, 1e-9) / (steps - 1)
     steps_per_sec = 1.0 / step_time
+
+    # Release denoise params/graph buffers before the VAE decode graph
+    # allocates its full-resolution activations.
+    del params
+    jax.clear_caches()
 
     z = jnp.zeros((decode_chunk, lat_h, lat_w, vae_cfg.latent_channels), dtype)
     timed(decode, vae_params, z)
     n_chunks = -(-frames // decode_chunk)
     td, _ = timed(decode, vae_params, z)
     decode_time = td * n_chunks
+    print(f"[bench] decode chunk={decode_chunk} td={td:.3f}s", file=sys.stderr)
 
     sec_video = steps * step_time + decode_time
     result = {

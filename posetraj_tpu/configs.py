@@ -307,6 +307,10 @@ class TrainConfig:
     spatial_loss_weight: float = 0.5
     use_ema: bool = True
     ema_decay: float = 0.9999
+    # Reference trains with --gradient_checkpointing (start_pretrain.sh);
+    # per-block jax.checkpoint remat in both the ControlNet and the frozen
+    # UNet forward.
+    gradient_checkpointing: bool = True
     seed: int = 23123134  # reference generator seed (train...blender_14.py:829)
     # Camera variant knobs (start_ft_cam.sh).
     cam_mask_ratio: float = 0.5

@@ -257,6 +257,27 @@ class TrajectoryVIPSegDataset:
         return sample
 
 
+class ResilientDataset:
+    """Wrapper: on a failed __getitem__, resample a random index (the
+    reference's dataset-level fault handling, dataset.py:83-94)."""
+
+    def __init__(self, dataset, max_retries: int = 8, seed: int = 0):
+        self.dataset = dataset
+        self.max_retries = max_retries
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, index: int):
+        for _ in range(self.max_retries):
+            try:
+                return self.dataset[index]
+            except Exception:
+                index = self.rng.randrange(len(self.dataset))
+        return self.dataset[index]  # surface the error after max_retries
+
+
 def batch_iterator(
     dataset,
     batch_size: int,

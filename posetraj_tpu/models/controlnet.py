@@ -255,6 +255,7 @@ def controlnet_forward(
     entity_cond: Optional[jax.Array] = None,
     compute_dtype=jnp.bfloat16,
     attention_backend: str = "auto",
+    remat: bool = False,
 ) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
     """Returns (down_block_residuals (12-tuple for the 4-level config),
     mid_block_residual), each scaled by conditioning_scale
@@ -278,20 +279,25 @@ def controlnet_forward(
 
     image_only_indicator = jnp.zeros((b, f), jnp.float32)
 
+    # Per-block remat, matching the UNet (train...blender_14.py:975-976).
+    ckpt = (lambda fn: jax.checkpoint(fn)) if remat else (lambda fn: fn)
+
     skips: Tuple[jax.Array, ...] = (x,)
     for i, db_params in enumerate(params["down_blocks"]):
-        x, new_skips = down_block(
-            db_params, x, emb,
-            context if u.cross_attention_levels[i] else None,
-            f, u.num_attention_heads[i], image_only_indicator,
-            backend=attention_backend, compute_dtype=compute_dtype,
-        )
+        x, new_skips = ckpt(
+            lambda p, xx, ee, cc, _i=i: down_block(
+                p, xx, ee, cc, f, u.num_attention_heads[_i], image_only_indicator,
+                backend=attention_backend, compute_dtype=compute_dtype,
+            )
+        )(db_params, x, emb, context if u.cross_attention_levels[i] else None)
         skips = skips + new_skips
 
-    x = mid_block(
-        params["mid_block"], x, emb, context, f, u.num_attention_heads[-1],
-        image_only_indicator, backend=attention_backend, compute_dtype=compute_dtype,
-    )
+    x = ckpt(
+        lambda p, xx, ee, cc: mid_block(
+            p, xx, ee, cc, f, u.num_attention_heads[-1], image_only_indicator,
+            backend=attention_backend, compute_dtype=compute_dtype,
+        )
+    )(params["mid_block"], x, emb, context)
 
     down_residuals = tuple(
         conv2d(zc, s, compute_dtype=compute_dtype) * conditioning_scale

@@ -140,6 +140,7 @@ def unet_forward(
     mid_block_residual: Optional[jax.Array] = None,
     compute_dtype=jnp.bfloat16,
     attention_backend: str = "auto",
+    remat: bool = False,
 ) -> jax.Array:
     """Denoise one (CFG-expanded) batch of video latents.
 
@@ -153,6 +154,11 @@ def unet_forward(
     emb = compute_embeddings(params, cfg, timestep, added_time_ids, b, f, compute_dtype)
     context = jnp.repeat(encoder_hidden_states.astype(compute_dtype), f, axis=0)
 
+    # Per-block rematerialization: activations inside each block recompute in
+    # the backward pass — the jax.checkpoint equivalent of the reference's
+    # --gradient_checkpointing (train...blender_14.py:975-976).
+    ckpt = (lambda fn: jax.checkpoint(fn)) if remat else (lambda fn: fn)
+
     x = sample.reshape(b * f, h, w, sample.shape[-1]).astype(compute_dtype)
     x = conv2d(params["conv_in"], x, compute_dtype=compute_dtype)
 
@@ -160,12 +166,12 @@ def unet_forward(
 
     skips: Tuple[jax.Array, ...] = (x,)
     for i, db_params in enumerate(params["down_blocks"]):
-        x, new_skips = down_block(
-            db_params, x, emb,
-            context if cfg.cross_attention_levels[i] else None,
-            f, cfg.num_attention_heads[i], image_only_indicator,
-            backend=attention_backend, compute_dtype=compute_dtype,
-        )
+        x, new_skips = ckpt(
+            lambda p, xx, ee, cc, _i=i: down_block(
+                p, xx, ee, cc, f, cfg.num_attention_heads[_i], image_only_indicator,
+                backend=attention_backend, compute_dtype=compute_dtype,
+            )
+        )(db_params, x, emb, context if cfg.cross_attention_levels[i] else None)
         skips = skips + new_skips
         if down_block_residuals is not None and cfg.fidelity_residual_in_loop:
             # Q1: in-loop merge; zip truncates to current length so earlier
@@ -175,10 +181,12 @@ def unet_forward(
     if down_block_residuals is not None and not cfg.fidelity_residual_in_loop:
         skips = tuple(s + r.astype(s.dtype) for s, r in zip(skips, down_block_residuals))
 
-    x = mid_block(
-        params["mid_block"], x, emb, context, f, cfg.num_attention_heads[-1],
-        image_only_indicator, backend=attention_backend, compute_dtype=compute_dtype,
-    )
+    x = ckpt(
+        lambda p, xx, ee, cc: mid_block(
+            p, xx, ee, cc, f, cfg.num_attention_heads[-1], image_only_indicator,
+            backend=attention_backend, compute_dtype=compute_dtype,
+        )
+    )(params["mid_block"], x, emb, context)
     if mid_block_residual is not None:
         x = x + mid_block_residual.astype(x.dtype)
 
@@ -187,12 +195,12 @@ def unet_forward(
     n_res = cfg.layers_per_block + 1
     for i, ub_params in enumerate(params["up_blocks"]):
         block_skips, skips = skips[-n_res:], skips[:-n_res]
-        x = up_block(
-            ub_params, x, block_skips, emb,
-            context if rev_cross[i] else None,
-            f, rev_heads[i], image_only_indicator,
-            backend=attention_backend, compute_dtype=compute_dtype,
-        )
+        x = ckpt(
+            lambda p, xx, ss, ee, cc, _i=i: up_block(
+                p, xx, ss, ee, cc, f, rev_heads[_i], image_only_indicator,
+                backend=attention_backend, compute_dtype=compute_dtype,
+            )
+        )(ub_params, x, block_skips, emb, context if rev_cross[i] else None)
 
     x = group_norm(params["conv_norm_out"], x, eps=1e-5)
     x = silu(x)

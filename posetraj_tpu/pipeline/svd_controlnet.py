@@ -250,9 +250,27 @@ class SVDControlNetPipeline:
     compiled program per (resolution, frames, steps) signature.
     """
 
-    def __init__(self, params: Dict, bundle: ModelBundle = ModelBundle()):
+    def __init__(self, params: Dict, bundle: ModelBundle = ModelBundle(), mesh=None):
+        """mesh: optional jax.sharding.Mesh for pod-scale batched serving —
+        inputs shard their batch axis over "data" and the big transformer
+        weights tensor-shard over "model" (parallel/mesh.py); XLA propagates
+        shardings through the whole compiled program (BASELINE configs[4])."""
         self.params = params
         self.bundle = bundle
+        self.mesh = mesh
+        if mesh is not None:
+            from posetraj_tpu.parallel.mesh import param_shardings, shard_params
+
+            self.params = shard_params(params, param_shardings(params, mesh))
+
+    def _shard_batch(self, tree):
+        if self.mesh is None:
+            return tree
+        from posetraj_tpu.parallel.mesh import batch_sharding
+
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, batch_sharding(self.mesh, jnp.asarray(x).ndim)), tree
+        )
 
     def __call__(
         self,
@@ -303,12 +321,13 @@ class SVDControlNetPipeline:
             }
 
         sched = make_schedule(self.bundle.scheduler, num_inference_steps)
+        image, control, noises = self._shard_batch((jnp.asarray(image), jnp.asarray(control), noises))
         frames = generate(
             self.params,
             self.bundle,
             pcfg,
-            jnp.asarray(image),
-            jnp.asarray(control),
+            image,
+            control,
             noises,
             jnp.asarray(added_time_ids_inference(pcfg)),
             jnp.asarray(sched.sigmas),

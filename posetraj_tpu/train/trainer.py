@@ -143,10 +143,12 @@ def edm_training_loss(
         camera_cond=batch.get("cam_parameter"),
         rot_id=batch.get("rot_id"),
         compute_dtype=compute_dtype,
+        remat=tcfg.gradient_checkpointing,
     )
     model_pred = unet_m.unet_forward(
         frozen_params["unet"], u, inp8, timesteps, clip_emb, time_ids,
         down_res, mid_res, compute_dtype=compute_dtype,
+        remat=tcfg.gradient_checkpointing,
     ).astype(jnp.float32)
 
     denoised = model_pred * c_out + c_skip * noisy_latents
