@@ -256,10 +256,16 @@ def controlnet_forward(
     compute_dtype=jnp.bfloat16,
     attention_backend: str = "auto",
     remat: bool = False,
+    hint_embedding: Optional[jax.Array] = None,
 ) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
     """Returns (down_block_residuals (12-tuple for the 4-level config),
     mid_block_residual), each scaled by conditioning_scale
-    (controlnet_sdv.py:516-650)."""
+    (controlnet_sdv.py:516-650).
+
+    `hint_embedding` short-circuits the hint conv stack: the embedding depends
+    only on the control video, so the sampling loop computes it ONCE and
+    reuses it across all denoise steps (the reference recomputes it per step,
+    pipeline...controlnet.py:538-547)."""
     u = cfg.unet
     b, f, h, w, _ = sample.shape
     emb = compute_embeddings(params, u, timestep, added_time_ids, b, f, compute_dtype)
@@ -268,7 +274,9 @@ def controlnet_forward(
     x = sample.reshape(b * f, h, w, sample.shape[-1]).astype(compute_dtype)
     x = conv2d(params["conv_in"], x, compute_dtype=compute_dtype)
 
-    if controlnet_cond is not None:
+    if hint_embedding is not None:
+        x = x + hint_embedding.astype(x.dtype)
+    elif controlnet_cond is not None:
         hint = hint_encoder(
             params["controlnet_cond_embedding"], cfg.hint,
             controlnet_cond.astype(compute_dtype), f,

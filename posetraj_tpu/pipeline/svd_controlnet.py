@@ -126,6 +126,8 @@ def denoise_scan(
     timesteps: jax.Array,
     guidance_scale: jax.Array,
     camera_cond: Optional[jax.Array] = None,
+    bbox_cond: Optional[jax.Array] = None,
+    rot_id: Optional[jax.Array] = None,
     compute_dtype=jnp.bfloat16,
 ) -> jax.Array:
     """The hot loop (pipeline...controlnet.py:529-583) as one lax.scan.
@@ -140,6 +142,16 @@ def denoise_scan(
     c = bundle.controlnet
     gs = guidance_scale.reshape(1, f, 1, 1, 1).astype(jnp.float32)
 
+    # The hint embedding depends only on the control video — compute ONCE and
+    # reuse across every denoise step (the reference reruns the conv stack
+    # inside the loop, pipeline...controlnet.py:538-547).
+    hint = cn.hint_encoder(
+        params["controlnet"]["controlnet_cond_embedding"], c.hint,
+        control_video.astype(compute_dtype), f,
+        camera_cond=camera_cond, bbox_cond=bbox_cond, rot_id=rot_id,
+        compute_dtype=compute_dtype,
+    )
+
     def body(carry, step):
         lat = carry  # (B, F, h, w, 4) fp32
         sigma, sigma_next, t = step
@@ -149,9 +161,8 @@ def denoise_scan(
 
         down_res, mid_res = cn.controlnet_forward(
             params["controlnet"], c, lat_in, t, clip_embeddings, added_time_ids,
-            controlnet_cond=control_video,
             conditioning_scale=pcfg.controlnet_cond_scale,
-            camera_cond=camera_cond,
+            hint_embedding=hint,
             compute_dtype=compute_dtype,
         )
         noise_pred = unet_m.unet_forward(
@@ -202,6 +213,8 @@ def generate(
     timesteps: jax.Array,
     num_frames: int,
     camera_cond: Optional[jax.Array] = None,
+    bbox_cond: Optional[jax.Array] = None,
+    rot_id: Optional[jax.Array] = None,
     output_latent: bool = False,
 ) -> jax.Array:
     """Full image -> video program.
@@ -228,12 +241,16 @@ def generate(
     guidance = jnp.linspace(pcfg.min_guidance_scale, pcfg.max_guidance_scale, num_frames)
 
     time_ids = jnp.concatenate([added_time_ids, added_time_ids], axis=0)  # CFG x2 (:522)
-    if camera_cond is not None:
-        camera_cond = jnp.concatenate([camera_cond, camera_cond], axis=0)
+    cfg2 = lambda x: None if x is None else jnp.concatenate([x, x], axis=0)
+    camera_cond = cfg2(camera_cond)
+    if bbox_cond is not None:
+        bbox_cond = cfg2(bbox_cond * 2.0 - 1.0).astype(compute_dtype)
+    rot_id = cfg2(rot_id)
 
     latents = denoise_scan(
         params, bundle, pcfg, latents, image_latents, clip_emb, control,
-        time_ids, sigmas, timesteps, guidance, camera_cond, compute_dtype,
+        time_ids, sigmas, timesteps, guidance, camera_cond, bbox_cond, rot_id,
+        compute_dtype,
     )
     if output_latent:
         return latents
@@ -288,6 +305,8 @@ class SVDControlNetPipeline:
         controlnet_cond_scale: float = 1.0,
         decode_chunk_size: Optional[int] = None,
         camera_cond=None,
+        bbox_condition=None,
+        rot_id=None,
         seed: int = 0,
         noises: Optional[Dict[str, jax.Array]] = None,
         output_type: str = "np",
@@ -334,6 +353,8 @@ class SVDControlNetPipeline:
             jnp.asarray(sched.timesteps),
             num_frames,
             camera_cond=None if camera_cond is None else jnp.asarray(camera_cond),
+            bbox_cond=None if bbox_condition is None else jnp.asarray(_to_float_array(bbox_condition)),
+            rot_id=None if rot_id is None else jnp.asarray(rot_id),
             output_latent=(output_type == "latent"),
         )
         if output_type == "latent":

@@ -56,6 +56,7 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=23123134)
     p.add_argument("--resume_from_checkpoint", default=None)
     p.add_argument("--n_model_shards", type=int, default=1)
+    p.add_argument("--no_gradient_checkpointing", action="store_true")
     p.add_argument("--tiny", action="store_true", help="tiny model bundle (smoke runs)")
     return p.parse_args(argv)
 
@@ -138,6 +139,7 @@ def main(argv=None):
         checkpointing_steps=args.checkpointing_steps,
         checkpoints_total_limit=args.checkpoints_total_limit,
         seed=args.seed,
+        gradient_checkpointing=not args.no_gradient_checkpointing,
     )
 
     n_dev = jax.device_count()
@@ -166,6 +168,41 @@ def main(argv=None):
     step = int(trainer.state.step)
     print(f"dataset: {len(dataset)} samples; global batch {global_batch}; devices {n_dev}")
 
+    def run_validation(current_step: int):
+        """Render held-out samples with the in-training ControlNet and save
+        side-by-side GIFs (the reference's eyeball-validation loop,
+        train_svd_traj_blender_14.py:1418-1495)."""
+        from posetraj_tpu.data import export
+        from posetraj_tpu.pipeline import SVDControlNetPipeline
+
+        val_params = {
+            "unet": frozen["unet"],
+            "vae": frozen["vae"],
+            "clip": frozen["clip"],
+            "controlnet": (
+                trainer.state.ema_params if trainer.state.ema_params is not None
+                else trainer.state.controlnet_params
+            ),
+        }
+        pipe = SVDControlNetPipeline(val_params, bundle)
+        vdir = os.path.join(args.output_dir, f"validation-{current_step}")
+        for i in range(min(2, len(dataset))):
+            s = dataset[i]
+            image = (s["pixel_values"][:1] + 1.0) / 2.0
+            control = (s["trajectories"][None] + 1.0) / 2.0
+            out = pipe(
+                image, control, height=args.height, width=args.width,
+                num_frames=args.num_frames, num_inference_steps=args.steps
+                if hasattr(args, "steps") else 25,
+                camera_cond=(s["cam_parameter"][None] if "cam_parameter" in s else None),
+                seed=args.seed,
+            )[0]
+            export.save_side_by_side_gif(
+                [(s["pixel_values"] + 1) / 2, (s["trajectories"] + 1) / 2, out],
+                os.path.join(vdir, f"sample{i}.gif"),
+            )
+        print(f"validation GIFs -> {vdir}")
+
     for epoch in range(args.num_train_epochs):
         for batch in batch_iterator(dataset, global_batch, seed=args.seed + epoch):
             metrics = trainer.step(batch)
@@ -181,6 +218,8 @@ def main(argv=None):
                     trainer.state.controlnet_params, "controlnet",
                     os.path.join(args.output_dir, f"checkpoint-{step}", "controlnet"),
                 )
+            if args.validation_steps and step and step % args.validation_steps == 0:
+                run_validation(step)
             if args.max_train_steps and step >= args.max_train_steps:
                 break
         if args.max_train_steps and step >= args.max_train_steps:

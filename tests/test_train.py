@@ -49,7 +49,7 @@ def test_added_time_ids_train_order():
 
 def test_loss_finite_and_componentized(setup):
     bundle, frozen, cn_params = setup
-    tcfg = TrainConfig(use_spatial_loss=True)
+    tcfg = TrainConfig(use_spatial_loss=True, gradient_checkpointing=False)
     loss, metrics = jax.jit(
         edm_training_loss, static_argnums=(2, 3), static_argnames=("compute_dtype",)
     )(cn_params, frozen, bundle, tcfg, _batch(), jax.random.PRNGKey(0), compute_dtype=jnp.float32)
@@ -60,7 +60,7 @@ def test_loss_finite_and_componentized(setup):
 
 def test_train_step_updates_only_controlnet(setup):
     bundle, frozen, cn_params = setup
-    tcfg = TrainConfig(gradient_accumulation_steps=1, use_spatial_loss=False, lr_warmup_steps=0,
+    tcfg = TrainConfig(gradient_checkpointing=False, gradient_accumulation_steps=1, use_spatial_loss=False, lr_warmup_steps=0,
                        learning_rate=1e-3)
     trainer = Trainer(bundle, tcfg, frozen, cn_params, compute_dtype=jnp.float32)
     before = jax.tree_util.tree_leaves(trainer.state.controlnet_params)[0].copy()
@@ -75,7 +75,7 @@ def test_train_step_updates_only_controlnet(setup):
 
 def test_grad_accumulation_defers_update(setup):
     bundle, frozen, cn_params = setup
-    tcfg = TrainConfig(gradient_accumulation_steps=2, use_spatial_loss=False, lr_warmup_steps=0)
+    tcfg = TrainConfig(gradient_checkpointing=False, gradient_accumulation_steps=2, use_spatial_loss=False, lr_warmup_steps=0)
     trainer = Trainer(bundle, tcfg, frozen, cn_params, compute_dtype=jnp.float32)
     p0 = np.asarray(jax.tree_util.tree_leaves(trainer.state.controlnet_params)[0]).copy()
     trainer.step(_batch())
@@ -92,7 +92,7 @@ def test_sharded_train_step_on_8_device_mesh(setup):
     bundle, frozen, cn_params = setup
     assert jax.device_count() >= 8, "conftest must expose 8 virtual devices"
     mesh = make_mesh(n_data=4, n_model=2)
-    tcfg = TrainConfig(gradient_accumulation_steps=1, use_spatial_loss=False, lr_warmup_steps=0)
+    tcfg = TrainConfig(gradient_checkpointing=False, gradient_accumulation_steps=1, use_spatial_loss=False, lr_warmup_steps=0)
     trainer = Trainer(bundle, tcfg, frozen, cn_params, mesh=mesh, compute_dtype=jnp.float32)
     metrics = trainer.step(_batch(b=4))
     assert np.isfinite(float(metrics["loss"]))
@@ -101,7 +101,7 @@ def test_sharded_train_step_on_8_device_mesh(setup):
 
 def test_sharded_loss_matches_unsharded(setup):
     bundle, frozen, cn_params = setup
-    tcfg = TrainConfig(gradient_accumulation_steps=1, use_spatial_loss=False, lr_warmup_steps=0)
+    tcfg = TrainConfig(gradient_checkpointing=False, gradient_accumulation_steps=1, use_spatial_loss=False, lr_warmup_steps=0)
     batch = _batch(b=4)
     t_single = Trainer(bundle, tcfg, frozen, cn_params, compute_dtype=jnp.float32)
     m_single = t_single.step(batch)
@@ -109,3 +109,18 @@ def test_sharded_loss_matches_unsharded(setup):
     t_mesh = Trainer(bundle, tcfg, frozen, cn_params, mesh=mesh, compute_dtype=jnp.float32)
     m_mesh = t_mesh.step(batch)
     np.testing.assert_allclose(float(m_single["loss"]), float(m_mesh["loss"]), rtol=2e-3)
+
+
+def test_remat_train_step_matches_no_remat(setup):
+    """Gradient checkpointing must not change the loss value."""
+    bundle, frozen, cn_params = setup
+    batch = _batch()
+    base = TrainConfig(gradient_checkpointing=False, gradient_accumulation_steps=1,
+                       use_spatial_loss=False, lr_warmup_steps=0)
+    remat = TrainConfig(gradient_checkpointing=True, gradient_accumulation_steps=1,
+                        use_spatial_loss=False, lr_warmup_steps=0)
+    t_a = Trainer(bundle, base, frozen, cn_params, compute_dtype=jnp.float32)
+    t_b = Trainer(bundle, remat, frozen, cn_params, compute_dtype=jnp.float32)
+    m_a = t_a.step(batch)
+    m_b = t_b.step(batch)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
