@@ -165,6 +165,34 @@ def init_temporal_basic_transformer_block(
     return p
 
 
+def _frame_axis_attention(
+    params: dict,
+    x: jax.Array,
+    num_heads: int,
+    context: Optional[jax.Array] = None,
+    compute_dtype=None,
+) -> jax.Array:
+    """Attention over the FRAME axis of (B, F, S, C) without materializing the
+    (B*S, F, C) transpose the torch layout forces — the per-pixel token count
+    (S up to 9216) makes those transposes pure HBM traffic. Frame attention is
+    tiny-seq (F=14) so logits stay small: (B, S, N, F, F_kv).
+
+    context: optional (B, S, 1, C_kv) per-pixel cross-attn context."""
+    b, f, s, c = x.shape
+    hd = c // num_heads
+    q = linear(params["to_q"], x, compute_dtype).reshape(b, f, s, num_heads, hd)
+    ctx = x if context is None else context
+    k = linear(params["to_k"], ctx, compute_dtype)
+    v = linear(params["to_v"], ctx, compute_dtype)
+    fk = k.shape[1]
+    k = k.reshape(b, fk, s, num_heads, hd)
+    v = v.reshape(b, fk, s, num_heads, hd)
+    logits = jnp.einsum("bqsnh,bksnh->bsnqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits.astype(jnp.float32) * (hd**-0.5), axis=-1)
+    out = jnp.einsum("bsnqk,bksnh->bqsnh", probs.astype(q.dtype), v, preferred_element_type=q.dtype)
+    return linear(params["to_out"], out.reshape(b, f, s, c), compute_dtype)
+
+
 def temporal_basic_transformer_block(
     params: dict,
     x: jax.Array,
@@ -173,10 +201,13 @@ def temporal_basic_transformer_block(
     context: Optional[jax.Array] = None,
     compute_dtype=None,
 ) -> jax.Array:
-    """x: (B*F, S, C) -> same. Internally transposes to (B*S, F, C)."""
+    """x: (B*F, S, C) -> same; math identical to the torch block but computed
+    in the (B, F, S, C) layout (see _frame_axis_attention).
+
+    context: optional per-pixel cross context shaped (B, F_kv, S, C_kv)."""
     bf, s, c = x.shape
     b = bf // num_frames
-    x = x.reshape(b, num_frames, s, c).transpose(0, 2, 1, 3).reshape(b * s, num_frames, c)
+    x = x.reshape(b, num_frames, s, c)
 
     residual = x
     h = layer_norm(params["norm_in"], x)
@@ -184,16 +215,16 @@ def temporal_basic_transformer_block(
     x = h + residual  # is_res (dim == time_mix_inner_dim in SVD)
 
     h = layer_norm(params["norm1"], x)
-    x = x + attention_module(params["attn1"], h, num_heads, backend="xla", compute_dtype=compute_dtype)
+    x = x + _frame_axis_attention(params["attn1"], h, num_heads, compute_dtype=compute_dtype)
     if "attn2" in params:
         h = layer_norm(params["norm2"], x)
-        x = x + attention_module(
-            params["attn2"], h, num_heads, context=context, backend="xla", compute_dtype=compute_dtype
+        x = x + _frame_axis_attention(
+            params["attn2"], h, num_heads, context=context, compute_dtype=compute_dtype
         )
     h = layer_norm(params["norm3"], x)
     x = x + feed_forward(params["ff"], h, compute_dtype)
 
-    return x.reshape(b, s, num_frames, c).transpose(0, 2, 1, 3).reshape(bf, s, c)
+    return x.reshape(bf, s, c)
 
 
 # ---------------------------------------------------------------------------
@@ -252,15 +283,18 @@ def transformer_spatio_temporal(
     b = bf // num_frames
     s = hh * ww
 
-    # Temporal cross-attn context: first-frame CLIP embedding per video.
+    # Temporal cross-attn context: first-frame CLIP embedding per video,
+    # shaped (B, 1, S, D) for the frame-axis attention layout.
     ctx_first = context.reshape(b, num_frames, -1, context.shape[-1])[:, 0]  # (B, 1, D)
     if fidelity_time_context_order:
-        # 0.24.0 ordering: (H*W, B, 1, D) -> (H*W*B, 1, D), sequence-major.
-        time_context = jnp.broadcast_to(ctx_first[None], (s, b) + ctx_first.shape[1:])
-        time_context = time_context.reshape(s * b, *ctx_first.shape[1:])
+        # Q7 (diffusers 0.24.0): the flat (H*W*B) context is sequence-major
+        # while hidden rows are batch-major, so pixel (b, s) reads entry
+        # (b*S + s) % B. Reproduce via gather on the (B,) table.
+        flat_idx = (jnp.arange(b)[:, None] * s + jnp.arange(s)[None, :]) % b  # (B, S)
+        time_context = ctx_first[flat_idx]  # (B, S, 1, D)
+        time_context = time_context.transpose(0, 2, 1, 3)  # (B, 1, S, D)
     else:
-        time_context = jnp.broadcast_to(ctx_first[:, None], (b, s) + ctx_first.shape[1:])
-        time_context = time_context.reshape(b * s, *ctx_first.shape[1:])
+        time_context = jnp.broadcast_to(ctx_first[:, :, None, :], (b, 1, s, ctx_first.shape[-1]))
 
     residual = x
     h = group_norm(params["norm"], x, eps=1e-6)

@@ -65,7 +65,16 @@ def attention(
     if backend == "pallas":
         from posetraj_tpu.ops.pallas_attention import flash_attention
 
-        out = flash_attention(qh, kh, vh, scale=scale)
+        # Block sizes tuned on v5e (see tests/perf notes): long sequences like
+        # 9216 spatial tokens favor (512, 1024); mid-range favors (512, 512);
+        # short sequences run a single K block.
+        if sq >= 4096:
+            bq, bk = 512, 1024
+        elif sq >= 1024:
+            bq, bk = 512, 512
+        else:
+            bq, bk = 512, 1024  # both clamp to the padded sequence => 1 block
+        out = flash_attention(qh, kh, vh, scale=scale, block_q=bq, block_k=bk)
     else:
         out = _xla_attention(qh, kh, vh, scale)
     return out.reshape(b, sq, d)

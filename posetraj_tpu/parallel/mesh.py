@@ -33,6 +33,22 @@ _COLUMN_SHARDED = ("to_q", "to_k", "to_v", "proj_in", "fc1", "linear_1")
 _ROW_SHARDED = ("to_out", "proj_out", "fc2", "linear_2")
 
 
+def initialize_distributed(coordinator: Optional[str] = None, num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host pod init (jax.distributed). On Cloud TPU pods all arguments
+    auto-detect from the metadata server; pass them explicitly elsewhere.
+    The NCCL/Accelerate-free equivalent of the reference's
+    `accelerate launch` process bootstrap (train_svd_traj_blender_14.py:821)."""
+    import jax
+
+    kwargs = {}
+    if coordinator:
+        kwargs = dict(
+            coordinator_address=coordinator, num_processes=num_processes, process_id=process_id
+        )
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices=None) -> Mesh:
     """Mesh over ("data", "model"). Defaults to all visible devices on data."""
     devices = np.asarray(devices if devices is not None else jax.devices())

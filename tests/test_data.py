@@ -162,3 +162,22 @@ def test_exporters(tmp_path):
     assert os.path.getsize(sbs) > 0
     grid = export.save_videos_grid(np.stack([frames, frames, frames]), str(tmp_path / "c.gif"))
     assert os.path.getsize(grid) > 0
+
+
+# ---------------------------------------------------------------------------
+# Metrics
+# ---------------------------------------------------------------------------
+
+
+def test_metrics():
+    from posetraj_tpu.data import metrics
+
+    a = np.random.RandomState(0).rand(2, 8, 8, 3).astype(np.float32)
+    assert metrics.psnr(a, a) == float("inf")
+    assert metrics.ssim(a, a) == pytest.approx(1.0, abs=1e-6)
+    noisy = np.clip(a + 0.1 * np.random.RandomState(1).randn(*a.shape), 0, 1)
+    r = metrics.video_psnr_ssim(noisy, a)
+    assert 10 < r["psnr"] < 40 and 0 < r["ssim"] <= 1
+    t = np.zeros((2, 3, 2))
+    g = np.ones((2, 3, 2))
+    assert metrics.objmc(t, g) == pytest.approx(np.sqrt(2.0))

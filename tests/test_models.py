@@ -183,3 +183,35 @@ def test_param_count_full_size_unet():
     params = unet_m.init_unet(None, cfg)
     n = count_params(params)
     assert 1.3e9 < n < 1.7e9, f"unexpected UNet param count {n:,}"
+
+
+def test_temporal_block_layout_equivalence():
+    """The (B,F,S,C)-layout temporal block must match the explicit
+    transpose-to-(B*S,F,C) formulation (the torch layout)."""
+    from posetraj_tpu.models import transformer as tfm
+    from posetraj_tpu.ops.primitives import layer_norm
+
+    b, f, s, c, heads = 2, 3, 5, 16, 2
+    key = jax.random.PRNGKey(0)
+    p = tfm.init_temporal_basic_transformer_block(key, c, heads, cross_attention_dim=c)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b * f, s, c))
+    ctx_table = jax.random.normal(jax.random.PRNGKey(2), (b, 1, c))  # per-video context
+    ctx = jnp.broadcast_to(ctx_table[:, :, None, :], (b, 1, s, c))
+
+    got = tfm.temporal_basic_transformer_block(p, x, f, heads, context=ctx, compute_dtype=jnp.float32)
+
+    # Reference: explicit transpose path.
+    xt = x.reshape(b, f, s, c).transpose(0, 2, 1, 3).reshape(b * s, f, c)
+    ctx_rows = jnp.repeat(ctx_table, s, axis=0)  # batch-major (B*S, 1, C)
+    h = layer_norm(p["norm_in"], xt)
+    h = tfm.feed_forward(p["ff_in"], h)
+    xt = h + xt
+    h = layer_norm(p["norm1"], xt)
+    xt = xt + tfm.attention_module(p["attn1"], h, heads, backend="xla")
+    h = layer_norm(p["norm2"], xt)
+    xt = xt + tfm.attention_module(p["attn2"], h, heads, context=ctx_rows, backend="xla")
+    h = layer_norm(p["norm3"], xt)
+    xt = xt + tfm.feed_forward(p["ff"], h)
+    expect = xt.reshape(b, s, f, c).transpose(0, 2, 1, 3).reshape(b * f, s, c)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-5, rtol=2e-5)
