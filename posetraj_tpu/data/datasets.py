@@ -257,6 +257,90 @@ class TrajectoryVIPSegDataset:
         return sample
 
 
+class WebVidDataset:
+    """CSV-driven video-file loader (the reference's legacy WebVid10M path,
+    dataset.py:30-128): rows of (videoid, ...) resolved against a video folder
+    plus parallel condition/motion folders. Videos are decoded with imageio
+    (the reference uses decord); a random frame_length window is sampled."""
+
+    def __init__(
+        self,
+        csv_path: str,
+        video_folder: str,
+        condition_folder: Optional[str] = None,
+        motion_folder: Optional[str] = None,
+        sample_size: Tuple[int, int] = (320, 576),
+        frame_length: int = 14,
+        seed: Optional[int] = None,
+    ):
+        import csv
+
+        with open(csv_path) as f:
+            self.rows = [r for r in csv.DictReader(f)]
+        self.video_folder = video_folder
+        self.condition_folder = condition_folder
+        self.motion_folder = motion_folder
+        self.sample_size = sample_size
+        self.frame_length = frame_length
+        self.rng = random.Random(seed)
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def _read_video(self, path: str) -> np.ndarray:
+        import imageio.v3 as iio
+
+        frames = iio.imread(path, plugin="pyav") if path.endswith((".mp4", ".webm")) else iio.imread(path)
+        return np.asarray(frames)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        from PIL import Image
+
+        row = self.rows[index]
+        vid = row.get("videoid") or row.get("video_id") or row.get("id")
+        video = self._read_video(os.path.join(self.video_folder, f"{vid}.mp4"))
+        if len(video) < self.frame_length:
+            raise ValueError(f"{vid}: too short ({len(video)} frames)")
+        start = self.rng.randint(0, len(video) - self.frame_length)
+        window = video[start : start + self.frame_length]
+        window = np.stack(
+            [
+                np.asarray(
+                    Image.fromarray(fr).resize((self.sample_size[1], self.sample_size[0]), Image.BILINEAR),
+                    np.float32,
+                )
+                for fr in window
+            ]
+        )
+        motion = np.float32(127.0)
+        if self.motion_folder:
+            mpath = os.path.join(self.motion_folder, f"{vid}.txt")
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    motion = np.float32(float(f.read().strip()))
+        sample = {
+            "pixel_values": _normalize(window),
+            "motion_values": motion,
+            "img_key": str(vid),
+        }
+        if self.condition_folder:
+            cond = self._read_video(os.path.join(self.condition_folder, f"{vid}.mp4"))
+            cond = cond[start : start + self.frame_length]
+            cond = np.stack(
+                [
+                    np.asarray(
+                        Image.fromarray(fr).resize(
+                            (self.sample_size[1], self.sample_size[0]), Image.BILINEAR
+                        ),
+                        np.float32,
+                    )
+                    for fr in cond
+                ]
+            )
+            sample["trajectories"] = _normalize(cond)
+        return sample
+
+
 class ResilientDataset:
     """Wrapper: on a failed __getitem__, resample a random index (the
     reference's dataset-level fault handling, dataset.py:83-94)."""

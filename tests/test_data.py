@@ -181,3 +181,18 @@ def test_metrics():
     t = np.zeros((2, 3, 2))
     g = np.ones((2, 3, 2))
     assert metrics.objmc(t, g) == pytest.approx(np.sqrt(2.0))
+
+
+def test_resilient_dataset():
+    from posetraj_tpu.data.datasets import ResilientDataset
+
+    class Flaky:
+        def __len__(self): return 4
+        def __getitem__(self, i):
+            if i == 0:
+                raise IOError("corrupt sample")
+            return {"x": i}
+
+    ds = ResilientDataset(Flaky(), seed=0)
+    out = ds[0]  # resamples instead of raising (dataset.py:83-94 behavior)
+    assert out["x"] != 0
