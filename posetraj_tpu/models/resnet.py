@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from posetraj_tpu.core.init import conv_init, linear_init, norm_init, rsplit
-from posetraj_tpu.ops.primitives import conv2d, conv3d_temporal, group_norm, linear, silu
+from posetraj_tpu.ops.primitives import conv2d, conv3d_temporal, group_norm, group_norm_silu, linear, silu
 
 
 # ---------------------------------------------------------------------------
@@ -54,14 +54,12 @@ def resnet_block_2d(
     diffusers ResnetBlock2D default path: norm-silu-conv, +temb, norm-silu-conv,
     +skip (output_scale_factor 1).
     """
-    h = group_norm(params["norm1"], x, eps=eps)
-    h = silu(h)
+    h = group_norm_silu(params["norm1"], x, eps=eps)
     h = conv2d(params["conv1"], h, compute_dtype=compute_dtype)
     if temb is not None and "time_emb_proj" in params:
         t = linear(params["time_emb_proj"], silu(temb), compute_dtype)
         h = h + t[:, None, None, :]
-    h = group_norm(params["norm2"], h, eps=eps)
-    h = silu(h)
+    h = group_norm_silu(params["norm2"], h, eps=eps)
     h = conv2d(params["conv2"], h, compute_dtype=compute_dtype)
     if "conv_shortcut" in params:
         x = conv2d(params["conv_shortcut"], x, compute_dtype=compute_dtype)
@@ -101,14 +99,12 @@ def temporal_resnet_block(
 ) -> jax.Array:
     """(B, F, H, W, C) -> same. temb: (B, F, temb_dim), added per frame
     (diffusers TemporalResnetBlock.forward)."""
-    h = group_norm(params["norm1"], x, eps=eps)
-    h = silu(h)
+    h = group_norm_silu(params["norm1"], x, eps=eps)
     h = conv3d_temporal(params["conv1"], h, compute_dtype=compute_dtype)
     if temb is not None and "time_emb_proj" in params:
         t = linear(params["time_emb_proj"], silu(temb), compute_dtype)
         h = h + t[:, :, None, None, :]
-    h = group_norm(params["norm2"], h, eps=eps)
-    h = silu(h)
+    h = group_norm_silu(params["norm2"], h, eps=eps)
     h = conv3d_temporal(params["conv2"], h, compute_dtype=compute_dtype)
     if "conv_shortcut" in params:
         x = conv3d_temporal(params["conv_shortcut"], x, compute_dtype=compute_dtype)

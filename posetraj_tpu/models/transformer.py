@@ -33,7 +33,7 @@ from posetraj_tpu.models.embeddings import (
     timestep_embedding,
 )
 from posetraj_tpu.ops.attention import attention
-from posetraj_tpu.ops.primitives import geglu, group_norm, layer_norm, linear
+from posetraj_tpu.ops.primitives import geglu, group_norm_silu, layer_norm, linear
 
 # ---------------------------------------------------------------------------
 # Attention projections (diffusers Attention, default config for SVD:
@@ -297,7 +297,7 @@ def transformer_spatio_temporal(
         time_context = jnp.broadcast_to(ctx_first[:, :, None, :], (b, 1, s, ctx_first.shape[-1]))
 
     residual = x
-    h = group_norm(params["norm"], x, eps=1e-6)
+    h = group_norm_silu(params["norm"], x, eps=1e-6, act=False)
     h = h.reshape(bf, s, c)
     h = linear(params["proj_in"], h, compute_dtype)
 

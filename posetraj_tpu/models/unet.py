@@ -35,7 +35,7 @@ from posetraj_tpu.models.embeddings import (
     sinusoidal_timestep_embedding,
     timestep_embedding,
 )
-from posetraj_tpu.ops.primitives import conv2d, group_norm, silu
+from posetraj_tpu.ops.primitives import conv2d, group_norm_silu, silu
 
 
 def init_unet(key: jax.Array, cfg: UNetConfig) -> dict:
@@ -202,7 +202,6 @@ def unet_forward(
             )
         )(ub_params, x, block_skips, emb, context if rev_cross[i] else None)
 
-    x = group_norm(params["conv_norm_out"], x, eps=1e-5)
-    x = silu(x)
+    x = group_norm_silu(params["conv_norm_out"], x, eps=1e-5)
     x = conv2d(params["conv_out"], x, compute_dtype=compute_dtype)
     return x.reshape(b, f, h, w, cfg.out_channels)

@@ -31,6 +31,7 @@ from posetraj_tpu.ops.primitives import (
     conv3d_temporal,
     downsample_2x,
     group_norm,
+    group_norm_silu,
     linear,
     silu,
     upsample_nearest_2x,
@@ -131,8 +132,7 @@ def encode(
     h = resnet_block_2d(mb["resnets"][0], h, None, eps=cfg.eps, compute_dtype=compute_dtype)
     h = vae_attention(mb["attention"], h, eps=cfg.eps, compute_dtype=compute_dtype)
     h = resnet_block_2d(mb["resnets"][1], h, None, eps=cfg.eps, compute_dtype=compute_dtype)
-    h = group_norm(params["conv_norm_out"], h, eps=cfg.eps)
-    h = silu(h)
+    h = group_norm_silu(params["conv_norm_out"], h, eps=cfg.eps)
     h = conv2d(params["conv_out"], h, compute_dtype=compute_dtype)
     moments = conv2d(params["quant_conv"], h, compute_dtype=compute_dtype)
     mean, logvar = jnp.split(moments, 2, axis=-1)
@@ -226,8 +226,7 @@ def decode(
         if "upsampler" in block:
             h = upsample_nearest_2x(block["upsampler"], h, compute_dtype=compute_dtype)
 
-    h = group_norm(params["conv_norm_out"], h, eps=cfg.eps)
-    h = silu(h)
+    h = group_norm_silu(params["conv_norm_out"], h, eps=cfg.eps)
     h = conv2d(params["conv_out"], h, compute_dtype=compute_dtype)
 
     # Final temporal conv over frames (autoencoder_kl_temporal_decoder.py

@@ -33,3 +33,16 @@ def test_flash_ragged_tail_masked():
     expect = _xla_attention(q, k, v, h**-0.5)
     got = flash_attention(q, k, v, scale=h**-0.5, block_q=128, block_k=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=5e-3, rtol=1e-2)  # interpret mode emulates TPU bf16 matmul precision
+
+
+def test_fused_group_norm_matches_xla():
+    from posetraj_tpu.ops.pallas_groupnorm import fused_group_norm
+    from posetraj_tpu.ops.primitives import group_norm, silu
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 8, 64), jnp.float32)
+    params = {"scale": jnp.asarray(rng.rand(64), jnp.float32),
+              "bias": jnp.asarray(rng.randn(64), jnp.float32)}
+    expect = silu(group_norm(params, x, 32, 1e-5))
+    got = fused_group_norm(x, params["scale"], params["bias"], 32, 1e-5, act=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-5, rtol=2e-5)
