@@ -340,6 +340,7 @@ class SVDControlNetPipeline:
             }
 
         sched = make_schedule(self.bundle.scheduler, num_inference_steps)
+        time_ids = np.tile(added_time_ids_inference(pcfg), (b, 1))  # per-video rows
         image, control, noises = self._shard_batch((jnp.asarray(image), jnp.asarray(control), noises))
         frames = generate(
             self.params,
@@ -348,7 +349,7 @@ class SVDControlNetPipeline:
             image,
             control,
             noises,
-            jnp.asarray(added_time_ids_inference(pcfg)),
+            jnp.asarray(time_ids),
             jnp.asarray(sched.sigmas),
             jnp.asarray(sched.timesteps),
             num_frames,

@@ -213,12 +213,12 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
     return tx
 
 
-def make_train_step(bundle: ModelBundle, tcfg: TrainConfig, optimizer, mesh=None, compute_dtype=jnp.bfloat16):
-    """Returns jitted (state, frozen_params, batch, rng) -> (state, metrics).
-
-    With a mesh, the batch shards over "data" (XLA all-reduces gradients over
-    ICI) and params follow parallel.mesh.param_shardings (tensor parallel on
-    "model")."""
+def make_train_step(bundle: ModelBundle, tcfg: TrainConfig, optimizer, compute_dtype=jnp.bfloat16):
+    """Returns the jitted (state, frozen_params, batch, rng) -> (state, metrics)
+    step. Shardings are inferred from the committed arguments (the Trainer
+    places state/frozen params per parallel.mesh.param_shardings and the batch
+    per batch_sharding), so optimizer moments, EMA, etc. keep the layouts XLA
+    propagates for them across steps."""
 
     def step_fn(state: TrainState, frozen_params, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -238,24 +238,7 @@ def make_train_step(bundle: ModelBundle, tcfg: TrainConfig, optimizer, mesh=None
             metrics,
         )
 
-    if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,))
-
-    def shard_batch_tree(tree):
-        return jax.tree_util.tree_map(lambda x: batch_sharding(mesh, x.ndim), tree)
-
-    # Sharding layout: train state / frozen params follow the tensor-parallel
-    # rules (replicated where not matched); batch is data-sharded; rng replicated.
-    def in_shardings(state, frozen, batch):
-        state_sh = TrainState(
-            step=replicated(mesh),
-            controlnet_params=param_shardings(state.controlnet_params, mesh),
-            ema_params=(param_shardings(state.ema_params, mesh) if state.ema_params is not None else None),
-            opt_state=jax.tree_util.tree_map(lambda _: replicated(mesh), state.opt_state),
-        )
-        return (state_sh, param_shardings(frozen, mesh), shard_batch_tree(batch), replicated(mesh))
-
-    return step_fn, in_shardings
+    return jax.jit(step_fn, donate_argnums=(0,))
 
 
 def init_train_state(controlnet_params, optimizer, use_ema: bool = True) -> TrainState:
@@ -290,19 +273,32 @@ class Trainer:
         self.mesh = mesh
         self.optimizer = make_optimizer(tcfg)
         self.frozen_params = frozen_params
-        self.state = init_train_state(controlnet_params, self.optimizer, tcfg.use_ema)
-        if mesh is None:
-            self._step = make_train_step(bundle, tcfg, self.optimizer, compute_dtype=compute_dtype)
-        else:
-            step_fn, in_sh = make_train_step(bundle, tcfg, self.optimizer, mesh, compute_dtype)
-            shardings = in_sh(self.state, frozen_params, None)
-            self._frozen_sh = shardings[1]
-            self._step = jax.jit(
-                step_fn,
-                in_shardings=(shardings[0], shardings[1], None, shardings[3]),
-                donate_argnums=(0,),
-            )
         self.rng = jax.random.PRNGKey(tcfg.seed)
+        self._step = make_train_step(bundle, tcfg, self.optimizer, compute_dtype=compute_dtype)
+
+        if mesh is None:
+            self.state = init_train_state(controlnet_params, self.optimizer, tcfg.use_ema)
+        else:
+            # Commit layouts once: trainable/frozen params tensor-parallel over
+            # "model" (replicated otherwise); the optimizer state is built by a
+            # jitted init so its moments inherit the param shardings; the rng
+            # key and step counter replicate. The jitted step then infers all
+            # shardings from its (donated) arguments — stable across steps.
+            from posetraj_tpu.parallel.mesh import shard_params
+
+            p_sh = param_shardings(controlnet_params, mesh)
+            params = shard_params(jax.tree_util.tree_map(jnp.array, controlnet_params), p_sh)
+            self.frozen_params = shard_params(frozen_params, param_shardings(frozen_params, mesh))
+            opt_state = jax.jit(self.optimizer.init)(params)
+            self.state = TrainState(
+                step=jax.device_put(jnp.zeros((), jnp.int32), replicated(mesh)),
+                controlnet_params=params,
+                ema_params=shard_params(jax.tree_util.tree_map(jnp.array, params), p_sh)
+                if tcfg.use_ema
+                else None,
+                opt_state=opt_state,
+            )
+            self.rng = jax.device_put(self.rng, replicated(mesh))
 
     def step(self, batch: Dict[str, jax.Array]):
         if self.mesh is not None:

@@ -80,3 +80,25 @@ def test_control_signal_changes_output_only_when_nonzero_weights(tiny_pipeline):
     a = tiny_pipeline(image, control0, height=H, width=W, num_frames=F, num_inference_steps=2, seed=5)
     b = tiny_pipeline(image, control1, height=H, width=W, num_frames=F, num_inference_steps=2, seed=5)
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_pipeline_camera_variant():
+    """Camera-disentangled pipeline: camera_cond threads into the hint encoder
+    (pipeline...controlnet_cam.py:505-549); zero camera at inference matches
+    the reference driver (infer...cam_concat_repro.py:485-488)."""
+    bundle = ModelBundle.tiny("cam")
+    key = jax.random.PRNGKey(0)
+    params = {
+        "unet": unet_m.init_unet(key, bundle.unet),
+        "controlnet": cn.init_controlnet(key, bundle.controlnet),
+        "vae": vae_m.init_vae(key, bundle.vae),
+        "clip": clip_m.init_clip_vision(key, bundle.clip),
+    }
+    pipe = SVDControlNetPipeline(params, bundle)
+    image = np.random.RandomState(0).rand(1, H, W, 3).astype(np.float32)
+    control = np.zeros((1, F, H, W, 3), np.float32)
+    cam = np.zeros((1, F, 12), np.float32)
+    out = pipe(image, control, height=H, width=W, num_frames=F, num_inference_steps=2,
+               camera_cond=cam, seed=2)
+    assert out.shape == (1, F, H, W, 3)
+    assert np.isfinite(out).all()
