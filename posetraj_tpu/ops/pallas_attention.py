@@ -33,6 +33,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, s_l
     block_q, head_dim = q.shape
     s_pad = k_ref.shape[1]
     num_kb = s_pad // block_k
+    needs_mask = s_len != s_pad  # static: no padded K columns -> no masking VPU work
 
     def body(j, carry):
         m, l, acc = carry
@@ -41,8 +42,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, s_l
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (bq, bk)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
-        s = jnp.where(col < s_len, s, NEG_INF)
+        if needs_mask:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
+            s = jnp.where(col < s_len, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
