@@ -28,7 +28,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from posetraj_tpu.configs import ControlNetConfig, HintEncoderConfig, UNetConfig
+from posetraj_tpu.configs import ControlNetConfig, HintEncoderConfig
 from posetraj_tpu.core.init import (
     conv_init,
     embedding_init,

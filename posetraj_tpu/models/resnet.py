@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from posetraj_tpu.core.init import conv_init, linear_init, norm_init, rsplit
-from posetraj_tpu.ops.primitives import conv2d, conv3d_temporal, group_norm, group_norm_silu, linear, silu
+from posetraj_tpu.ops.primitives import conv2d, conv3d_temporal, group_norm_silu, linear, silu
 
 
 # ---------------------------------------------------------------------------

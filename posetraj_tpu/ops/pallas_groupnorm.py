@@ -23,7 +23,6 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _largest_divisor(s: int, cap: int) -> int:

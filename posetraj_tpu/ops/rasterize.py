@@ -29,7 +29,7 @@ x' = int(x * W_t / W_s), y' = int(y * H_t / H_s) done by the caller or via
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

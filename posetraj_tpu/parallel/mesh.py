@@ -18,7 +18,7 @@ reduce-scatters on ICI (SURVEY.md section 5.8).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -41,7 +41,7 @@ from posetraj_tpu.configs import (
     UNetConfig,
     VAEConfig,
 )
-from posetraj_tpu.diffusion.euler_karras import Schedule, euler_step, make_schedule
+from posetraj_tpu.diffusion.euler_karras import euler_step, make_schedule
 from posetraj_tpu.models import clip as clip_m
 from posetraj_tpu.models import controlnet as cn
 from posetraj_tpu.models import unet as unet_m

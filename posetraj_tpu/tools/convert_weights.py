@@ -20,7 +20,7 @@ architecture fails loudly rather than silently mis-loading.
 from __future__ import annotations
 
 import re
-from typing import Callable, Dict, Optional
+from typing import Dict
 
 import numpy as np
 

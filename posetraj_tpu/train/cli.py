@@ -21,10 +21,6 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Optional
-
-import numpy as np
-
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
