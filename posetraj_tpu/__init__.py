@@ -15,6 +15,7 @@ kernels for the attention hot paths.
 __version__ = "0.1.0"
 
 from posetraj_tpu.configs import (  # noqa: F401
+    EDMConfig,
     UNetConfig,
     ControlNetConfig,
     VAEConfig,
@@ -24,3 +25,11 @@ from posetraj_tpu.configs import (  # noqa: F401
     TrainConfig,
     DTypePolicy,
 )
+
+
+def load_pipeline(checkpoint=None, svd_root=None, variant="base", tiny=False):
+    """Convenience: build an SVDControlNetPipeline from converted checkpoints
+    (see posetraj_tpu.inference.build_pipeline)."""
+    from posetraj_tpu.inference import build_pipeline
+
+    return build_pipeline(checkpoint, svd_root, variant, tiny)

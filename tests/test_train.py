@@ -124,3 +124,19 @@ def test_remat_train_step_matches_no_remat(setup):
     m_a = t_a.step(batch)
     m_b = t_b.step(batch)
     np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+
+
+def test_cam_variant_training_loss(setup):
+    """Camera-disentangled finetune path: cam_parameter flows into the cam
+    hint encoder during training (train_svd_traj_VIPSeg_14_cam_concat.py:1393-1409)."""
+    _, frozen, _ = setup
+    bundle = ModelBundle.tiny("cam")
+    cn_params = cn.init_controlnet(jax.random.PRNGKey(2), bundle.controlnet)
+    tcfg = TrainConfig(gradient_checkpointing=False, gradient_accumulation_steps=1,
+                       use_spatial_loss=False, lr_warmup_steps=0)
+    batch = _batch()
+    batch["cam_parameter"] = jnp.asarray(np.random.RandomState(5).randn(B, F, 12), jnp.float32)
+    loss, metrics = jax.jit(
+        edm_training_loss, static_argnums=(2, 3), static_argnames=("compute_dtype",)
+    )(cn_params, frozen, bundle, tcfg, batch, jax.random.PRNGKey(0), compute_dtype=jnp.float32)
+    assert np.isfinite(float(loss))
