@@ -90,24 +90,25 @@ def init_hint_encoder(key: jax.Array, cfg: HintEncoderConfig) -> dict:
     elif cfg.variant == "rot":
         p["rot_embed"] = embedding_init(ks[1], cfg.num_rot_classes, cfg.embedding_channels)
     elif cfg.variant == "entity":
-        p["entity_in"] = zero_conv_init((3, 3, cfg.conditioning_channels, cfg.block_out_channels[0]))
-        p["entity_out"] = zero_conv_init((3, 3, cfg.block_out_channels[0], cfg.embedding_channels))
+        # Two zero 3x3 convs at embedding channels/latent res, no activation
+        # (controlnet_sdv_entity.py:95-103).
+        c = cfg.embedding_channels
+        p["entity_in"] = zero_conv_init((3, 3, c, c))
+        p["entity_out"] = zero_conv_init((3, 3, c, c))
     elif cfg.variant == "temp":
+        from posetraj_tpu.core.init import linear_init
+
         c = cfg.embedding_channels
         tks = rsplit(ks[1], cfg.temp_num_layers + 2)
         p["temp"] = {
             "norm": norm_init(c),
-            "proj_in": {"kernel": jnp.eye(c), "bias": jnp.zeros((c,))},
+            "proj_in": linear_init(tks[-2], c, c),
             "blocks": [
                 init_basic_transformer_block(tks[i], c, cfg.temp_num_heads, None)
                 for i in range(cfg.temp_num_layers)
             ],
-            "proj_out": zero_conv_init((1, 1, c, c)),
+            "proj_out": linear_init(tks[-1], c, c),
         }
-        # proj_in follows torch Linear init; replace identity with proper init:
-        from posetraj_tpu.core.init import linear_init
-
-        p["temp"]["proj_in"] = linear_init(tks[-1], c, c)
     elif cfg.variant != "base":
         raise ValueError(f"unknown hint variant {cfg.variant}")
     return p
@@ -159,25 +160,30 @@ def hint_encoder(
         rot = jnp.repeat(rot, f, axis=0).astype(emb.dtype)  # (B*F, C)
         emb = emb + rot[:, None, None, :]
     elif cfg.variant == "entity":
+        # entity feature at EMBEDDING channels + latent resolution, two zero
+        # convs (no activation), broadcast over batch*frames and added
+        # (controlnet_sdv_entity.py:119-123).
         if entity_cond is None:
-            raise ValueError("entity variant requires entity_cond")
-        e = silu(conv2d(params["entity_in"], entity_cond.astype(emb.dtype), compute_dtype=compute_dtype))
-        # downsample x8 via strided slicing of an avg-pooled map would lose
-        # parity; reference runs its zero convs at latent res after its own
-        # stack — here the entity map is expected pre-resized to latent res.
-        e = conv2d(params["entity_out"], e, compute_dtype=compute_dtype)  # (B, h, w, C)
+            raise ValueError("entity variant requires entity_cond (B or 1, h_lat, w_lat, C_embed)")
+        e = conv2d(params["entity_in"], entity_cond.astype(emb.dtype), compute_dtype=compute_dtype)
+        e = conv2d(params["entity_out"], e, compute_dtype=compute_dtype)
+        e = jnp.broadcast_to(e[:1], (b, *e.shape[1:]))  # reference repeats one feature map
         emb = emb + jnp.repeat(e, f, axis=0)
     elif cfg.variant == "temp":
-        # Per-pixel temporal transformer over frames (controlnet_sdv_temp.py:136-165).
+        # Per-pixel temporal transformer over frames with a residual around it
+        # (controlnet_sdv_temp.py:136-168). The GroupNorm normalizes per VIDEO
+        # over (C/G, F, H, W) — the reference applies torch GN to the 5D
+        # (B, C, F, H, W) tensor.
         n, eh, ew, ec = emb.shape
         residual = emb
-        h = group_norm(params["temp"]["norm"], emb, eps=1e-6)
-        h = h.reshape(b, f, eh * ew, ec).transpose(0, 2, 1, 3).reshape(b * eh * ew, f, ec)
+        h5 = emb.reshape(b, f * eh * ew, ec)
+        h5 = group_norm(params["temp"]["norm"], h5, eps=1e-6)
+        h = h5.reshape(b, f, eh * ew, ec).transpose(0, 2, 1, 3).reshape(b * eh * ew, f, ec)
         h = linear(params["temp"]["proj_in"], h, compute_dtype)
         for blk in params["temp"]["blocks"]:
             h = basic_transformer_block(blk, h, cfg.temp_num_heads, backend="xla", compute_dtype=compute_dtype)
+        h = linear(params["temp"]["proj_out"], h, compute_dtype)
         h = h.reshape(b, eh * ew, f, ec).transpose(0, 2, 1, 3).reshape(n, eh, ew, ec)
-        h = conv2d(params["temp"]["proj_out"], h, compute_dtype=compute_dtype)
         emb = residual + h
     return emb
 

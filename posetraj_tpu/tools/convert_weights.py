@@ -58,6 +58,12 @@ _CONTROLNET_RULES = _COMMON_RULES + [
     (re.compile(r"controlnet_cond_embedding\.stack_2\.conv_out\."), "controlnet_cond_embedding.conv_out_2."),
     (re.compile(r"controlnet_cond_embedding\.stack\."), "controlnet_cond_embedding."),
     (re.compile(r"controlnet_cond_embedding\.rot_embed\.embedding"), "controlnet_cond_embedding.rot_embed.weight"),
+    # entity variant: zero convs named conv_in_2/conv_out_2 in the reference
+    (re.compile(r"controlnet_cond_embedding\.entity_in\."), "controlnet_cond_embedding.conv_in_2."),
+    (re.compile(r"controlnet_cond_embedding\.entity_out\."), "controlnet_cond_embedding.conv_out_2."),
+    # temp variant: our nested "temp" group vs flat reference names
+    (re.compile(r"controlnet_cond_embedding\.temp\.blocks\.(\d+)\."), r"controlnet_cond_embedding.transformer_blocks.\1."),
+    (re.compile(r"controlnet_cond_embedding\.temp\."), "controlnet_cond_embedding."),
 ]
 
 _VAE_RULES = _COMMON_RULES + [

@@ -42,7 +42,7 @@ def test_unet_roundtrip_and_names():
     assert sd["conv_in.weight"].shape[-2:] == (3, 3)
 
 
-@pytest.mark.parametrize("variant", ["base", "bbox", "cam", "rot"])
+@pytest.mark.parametrize("variant", ["base", "bbox", "cam", "rot", "entity", "temp"])
 def test_controlnet_roundtrip(variant):
     params = cn.init_controlnet(jax.random.PRNGKey(0), ControlNetConfig.tiny(variant))
     sd = _roundtrip(params, "controlnet")
@@ -54,6 +54,13 @@ def test_controlnet_roundtrip(variant):
         assert "controlnet_cond_embedding.conv_out_2.weight" in sd
     if variant == "cam":
         assert "controlnet_cond_embedding.cc_projection.weight" in sd
+    if variant == "entity":
+        assert "controlnet_cond_embedding.conv_in_2.weight" in sd
+        assert "controlnet_cond_embedding.conv_out_2.weight" in sd
+    if variant == "temp":
+        assert "controlnet_cond_embedding.transformer_blocks.0.attn1.to_q.weight" in sd
+        assert "controlnet_cond_embedding.proj_in.weight" in sd
+        assert "controlnet_cond_embedding.norm.weight" in sd
 
 
 def test_vae_roundtrip():

@@ -137,7 +137,7 @@ def test_hint_encoder_variants(variant):
     elif variant == "rot":
         kwargs["rot_id"] = jnp.zeros((B,), jnp.int32)
     elif variant == "entity":
-        kwargs["entity_cond"] = jnp.zeros((B, 8, 8, 3))
+        kwargs["entity_cond"] = jnp.zeros((1, 8, 8, cfg.hint.embedding_channels))
     out = _hint(params, cfg.hint, cond, F, **kwargs)
     assert out.shape == (B * F, 8, 8, cfg.hint.embedding_channels)
     assert np.isfinite(np.asarray(out)).all()
