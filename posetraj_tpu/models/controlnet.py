@@ -132,7 +132,7 @@ def hint_encoder(
       bbox_cond   (B, F, H, W, 3) rendered 3D-bbox video
       camera_cond (B, F, 12) per-frame extrinsics RT
       rot_id      (B,) int32 in [0, num_rot_classes)
-      entity_cond (B, H, W, 3) per-video entity map, broadcast over frames
+      entity_cond (1, h_lat, w_lat, C_embed) entity feature map, broadcast over batch*frames
     """
     b, f, hh, ww, c = cond.shape
     emb = _conv_stack(params["stack"], cond.reshape(b * f, hh, ww, c), compute_dtype)
