@@ -63,7 +63,16 @@ class UNetConfig:
     cross_attention_levels: Tuple[bool, ...] = (True, True, True, False)
     layers_per_block: int = 2
     transformer_layers_per_block: int = 1
-    num_attention_heads: Tuple[int, ...] = (5, 10, 10, 20)
+    # NOTE: the diffusers *class default* is (5, 10, 10, 20)
+    # (unet_spatio_temporal_condition_controlnet.py:93), but `from_pretrained`
+    # overrides class defaults with the checkpoint's config.json, and the
+    # released SVD img2vid checkpoints ship [5, 10, 20, 20] (head_dim 64 at
+    # every level, consistent with SD2.1/SDXL). Head count changes attention
+    # math without changing any parameter shape, so the shape-strict weight
+    # converter cannot catch a mismatch — this default MUST track the
+    # checkpoint, not the class. See tools/hub_configs.py for the recorded
+    # checkpoint config and a verifier to run against a real download.
+    num_attention_heads: Tuple[int, ...] = (5, 10, 20, 20)
     cross_attention_dim: int = 1024
     addition_time_embed_dim: int = 256
     projection_class_embeddings_input_dim: int = 768
@@ -223,15 +232,25 @@ class SchedulerConfig:
     shipped scheduler config uses v_prediction + continuous timesteps +
     Karras sigmas with explicit sigma_min/max — the "fix" is honoring those
     config values inside _convert_to_karras (:375-399).
+
+    Defaults are pinned to the CHECKPOINT's scheduler_config.json
+    (stabilityai/stable-video-diffusion-img2vid; recorded in
+    tools/hub_configs.py) — beta 0.00085..0.012 and "leading" spacing — not
+    the diffusers class defaults, because the reference always constructs the
+    scheduler via `from_pretrained` (train...blender_14.py:866-868). On the
+    SVD karras+continuous path betas/spacing only reach the output through
+    init_noise_sigma (sqrt(sigma_max^2+1) for "leading" vs sigma_max for
+    "linspace"; scheduling...karras_fix.py:248-255).
     """
 
     num_train_timesteps: int = 1000
-    beta_start: float = 0.0001
-    beta_end: float = 0.02
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
     beta_schedule: str = "scaled_linear"
     prediction_type: str = "v_prediction"
     timestep_type: str = "continuous"
-    timestep_spacing: str = "linspace"
+    timestep_spacing: str = "leading"
+    steps_offset: int = 1
     interpolation_type: str = "linear"
     use_karras_sigmas: bool = True
     sigma_min: Optional[float] = 0.002

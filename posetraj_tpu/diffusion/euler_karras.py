@@ -82,9 +82,18 @@ def _sigma_to_t_interp(sigma: np.ndarray, log_sigmas: np.ndarray) -> np.ndarray:
 def make_schedule(cfg: SchedulerConfig, num_inference_steps: int) -> Schedule:
     """Equivalent of set_timesteps (scheduling...karras_fix.py:290-350),
     host-side and stateless."""
-    if cfg.timestep_spacing != "linspace":
-        raise NotImplementedError("reference pipelines only exercise linspace spacing")
-    timesteps = np.linspace(0, cfg.num_train_timesteps - 1, num_inference_steps, dtype=np.float64)[::-1].copy()
+    if cfg.timestep_spacing == "linspace":
+        timesteps = np.linspace(0, cfg.num_train_timesteps - 1, num_inference_steps, dtype=np.float64)[::-1].copy()
+    elif cfg.timestep_spacing == "leading":
+        # :308-313 — the SVD checkpoint ships this spacing (tools/hub_configs.py)
+        step_ratio = cfg.num_train_timesteps // num_inference_steps
+        timesteps = (np.arange(0, num_inference_steps) * step_ratio).round()[::-1].copy().astype(np.float64)
+        timesteps += cfg.steps_offset
+    elif cfg.timestep_spacing == "trailing":
+        step_ratio = cfg.num_train_timesteps / num_inference_steps
+        timesteps = np.arange(cfg.num_train_timesteps, 0, -step_ratio).round().astype(np.float64) - 1
+    else:
+        raise ValueError(f"timestep_spacing={cfg.timestep_spacing}")
 
     full_sigmas = _train_sigmas(cfg)
     log_sigmas = np.log(full_sigmas)
@@ -105,8 +114,13 @@ def make_schedule(cfg: SchedulerConfig, num_inference_steps: int) -> Schedule:
         cond_timesteps = timesteps
 
     sigmas_out = np.concatenate([sigmas, [0.0]]).astype(np.float32)
-    # linspace/trailing spacing: init noise std is max sigma (:248-255).
-    init_noise_sigma = float(sigmas_out.max())
+    # init_noise_sigma (:248-255): max sigma for linspace/trailing spacing,
+    # sqrt(max^2 + 1) otherwise — SVD's "leading" config hits the latter.
+    max_sigma = float(sigmas_out.max())
+    if cfg.timestep_spacing in ("linspace", "trailing"):
+        init_noise_sigma = max_sigma
+    else:
+        init_noise_sigma = (max_sigma**2 + 1.0) ** 0.5
     return Schedule(
         sigmas=sigmas_out,
         timesteps=cond_timesteps.astype(np.float32),

@@ -27,20 +27,46 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, s_l
     """One (batch*head, q-block) program: online softmax over K/V blocks.
 
     q_ref: (1, block_q, H); k_ref/v_ref: (1, S_pad, H); o_ref: (1, block_q, H).
+
+    MXU precision: both matmuls take bf16 (or the input dtype) operands with
+    fp32 accumulation — upcasting operands to fp32 would silently put the MXU
+    in quarter-rate fp32 mode. Softmax statistics (m, l) and the output
+    accumulator stay fp32, matching the reference's fp32-softmax SDPA
+    numerics (train...blender_14.py:925-937 via xformers).
     """
-    q = q_ref[0].astype(jnp.float32) * scale  # (bq, H)
+    # Fold the scale into q in fp32 (before the bf16 round) so logits match
+    # the scale-then-matmul order of torch SDPA.
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # (bq, H)
     block_q, head_dim = q.shape
     s_pad = k_ref.shape[1]
     num_kb = s_pad // block_k
     needs_mask = s_len != s_pad  # static: no padded K columns -> no masking VPU work
 
+    if num_kb == 1:
+        # Single-block fast path: exact softmax, no online-rescale VPU work.
+        s = jax.lax.dot_general(
+            q, k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if needs_mask:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < s_len, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        return
+
     def body(j, carry):
         m, l, acc = carry
-        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)  # (bk, H)
-        v_blk = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :]  # (bk, H) input dtype
+        v_blk = v_ref[0, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (bq, bk)
+        )  # (bq, bk) fp32
         if needs_mask:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
             s = jnp.where(col < s_len, s, NEG_INF)
@@ -49,7 +75,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, s_l
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         return m_new, l_new, acc_new
 
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
@@ -85,27 +114,33 @@ def flash_attention(
 
     qf, kf, vf = fold(q), fold(k), fold(v)
 
+    # Q rows and K/V columns are padded independently: Q to the q-block grid,
+    # K/V to the k-block grid. (Padding both to max(bq, bk) would leave the
+    # final q rows unwritten whenever that multiple isn't divisible by
+    # block_q, e.g. S=576 with bq=512.)
     block_q = min(block_q, _round_up(s, 128))
     block_k = min(block_k, _round_up(s, 128))
-    s_pad = _round_up(s, max(block_q, block_k))
-    if s_pad != s:
-        pad = ((0, 0), (0, s_pad - s), (0, 0))
-        qf = jnp.pad(qf, pad)
+    sq_pad = _round_up(s, block_q)
+    sk_pad = _round_up(s, block_k)
+    if sq_pad != s:
+        qf = jnp.pad(qf, ((0, 0), (0, sq_pad - s), (0, 0)))
+    if sk_pad != s:
+        pad = ((0, 0), (0, sk_pad - s), (0, 0))
         kf = jnp.pad(kf, pad)
         vf = jnp.pad(vf, pad)
 
-    grid = (b * n, s_pad // block_q)
+    grid = (b * n, sq_pad // block_q)
     kernel = functools.partial(_flash_kernel, scale=scale, block_k=block_k, s_len=s)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, h), lambda bi, qi: (bi, qi, 0)),
-            pl.BlockSpec((1, s_pad, h), lambda bi, qi: (bi, 0, 0)),
-            pl.BlockSpec((1, s_pad, h), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, sk_pad, h), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, sk_pad, h), lambda bi, qi: (bi, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, h), lambda bi, qi: (bi, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * n, s_pad, h), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * n, sq_pad, h), q.dtype),
         interpret=interpret,
     )(qf, kf, vf)
 

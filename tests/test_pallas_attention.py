@@ -35,6 +35,24 @@ def test_flash_ragged_tail_masked():
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=5e-3, rtol=1e-2)  # interpret mode emulates TPU bf16 matmul precision
 
 
+def test_flash_q_grid_covers_tail_when_block_k_exceeds_block_q():
+    """Regression: S=576 with (bq=512, bk clamped to 640) used to pad the
+    sequence to 640 but emit a q-grid of 640//512 == 1, leaving rows 512..575
+    unwritten (the production L2 spatial shape). Q and K/V padding are now
+    independent."""
+    rng = np.random.RandomState(2)
+    b, s, n, h = 1, 576, 1, 64
+    q = jnp.asarray(rng.randn(b, s, n, h), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, n, h), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, n, h), jnp.float32)
+    expect = _xla_attention(q, k, v, h**-0.5)
+    got = flash_attention(q, k, v, scale=h**-0.5, block_q=512, block_k=1024, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=5e-3, rtol=1e-2)
+    # single-block fast path (no online rescale) at an exactly-divisible size
+    got1 = flash_attention(q, k, v, scale=h**-0.5, block_q=576, block_k=576, interpret=True)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(expect), atol=5e-3, rtol=1e-2)
+
+
 def test_fused_group_norm_matches_xla():
     from posetraj_tpu.ops.pallas_groupnorm import fused_group_norm
     from posetraj_tpu.ops.primitives import group_norm, silu

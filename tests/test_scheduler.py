@@ -19,7 +19,7 @@ from posetraj_tpu.diffusion import (
     sigma_to_timestep,
 )
 
-SVD_CFG = SchedulerConfig()  # SVD ships scaled_linear + karras + v_prediction
+SVD_CFG = SchedulerConfig()  # checkpoint defaults: scaled_linear + karras + v_prediction + leading
 
 
 def _reference_schedule(num_steps, num_train_timesteps=1000, beta_start=0.0001, beta_end=0.02,
@@ -50,12 +50,32 @@ def test_karras_sigma_ladder_matches_reference(n):
     assert sched.sigmas[0] == pytest.approx(700.0)
     assert sched.sigmas[-2] == pytest.approx(0.002)
     assert sched.sigmas[-1] == 0.0
-    # linspace spacing -> init noise std is sigma_max (:248-255)
-    assert sched.init_noise_sigma == pytest.approx(700.0)
+    # SVD ships "leading" spacing -> init noise std is sqrt(max^2+1) (:248-255)
+    assert sched.init_noise_sigma == pytest.approx((700.0**2 + 1) ** 0.5, rel=1e-9)
+    # linspace/trailing spacing -> plain sigma_max
+    lin = make_schedule(SchedulerConfig(timestep_spacing="linspace"), n)
+    assert lin.init_noise_sigma == pytest.approx(700.0)
+    # on the karras+continuous path spacing cannot change sigmas/timesteps
+    np.testing.assert_allclose(lin.sigmas, sched.sigmas, rtol=0)
+    np.testing.assert_allclose(lin.timesteps, sched.timesteps, rtol=0)
+
+
+def test_leading_spacing_timesteps_match_reference():
+    # scheduling...karras_fix.py:308-313: integer step-ratio grid + steps_offset
+    cfg = SchedulerConfig(
+        use_karras_sigmas=False, timestep_type="discrete", prediction_type="epsilon"
+    )
+    sched = make_schedule(cfg, 25)
+    step_ratio = 1000 // 25
+    expect_t = (np.arange(0, 25) * step_ratio).round()[::-1] + 1
+    np.testing.assert_allclose(sched.timesteps, expect_t, rtol=0)
 
 
 def test_non_karras_interpolated_sigmas():
-    cfg = SchedulerConfig(use_karras_sigmas=False, timestep_type="discrete", prediction_type="epsilon")
+    cfg = SchedulerConfig(
+        use_karras_sigmas=False, timestep_type="discrete", prediction_type="epsilon",
+        beta_start=0.0001, beta_end=0.02, timestep_spacing="linspace",
+    )
     sched = make_schedule(cfg, 10)
     betas = np.linspace(0.0001**0.5, 0.02**0.5, 1000) ** 2
     ac = np.cumprod(1 - betas)
