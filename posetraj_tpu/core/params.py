@@ -51,10 +51,28 @@ def unflatten_dict(flat: Dict[str, jax.Array], sep: str = ".") -> Dict:
     return fix(out)
 
 
-def ema_update(ema: PyTree, new: PyTree, decay: float) -> PyTree:
+def ema_update(ema: PyTree, new: PyTree, decay) -> PyTree:
     """EMA step equivalent to diffusers EMAModel at fixed decay
-    (train_svd_traj_blender_14.py:920-923, 1379-1380)."""
+    (train_svd_traj_blender_14.py:920-923, 1379-1380). `decay` may be a traced
+    scalar (see ema_decay_schedule)."""
     return jax.tree_util.tree_map(lambda e, p: decay * e + (1.0 - decay) * p, ema, new)
+
+
+def ema_decay_schedule(optimization_step, max_decay: float = 0.9999):
+    """diffusers EMAModel.get_decay warmup ramp (default, use_ema_warmup=False):
+    decay = min(max_decay, (1+step)/(10+step)) with step = optimization_step-1,
+    and 0.0 on the very first update (shadow := params). This is the schedule
+    behind the reference's EMA steps (train_svd_traj_blender_14.py:920-923,
+    1379-1380); a fixed decay from step 0 diverges from reference dynamics
+    early in training.
+
+    `optimization_step` is the 1-based count of completed optimizer updates
+    (EMA steps only happen on gradient-sync boundaries)."""
+    import jax.numpy as jnp
+
+    step = jnp.maximum(optimization_step - 1, 0).astype(jnp.float32)
+    decay = jnp.minimum((1.0 + step) / (10.0 + step), max_decay)
+    return jnp.where(step <= 0, 0.0, decay)
 
 
 def param_audit(tree: PyTree, trainable_fn: Callable[[str], bool] | None = None) -> str:

@@ -362,25 +362,129 @@ class ResilientDataset:
         return self.dataset[index]  # surface the error after max_retries
 
 
+class PrefetchLoader:
+    """Multi-worker prefetching batch loader.
+
+    The TPU-side equivalent of the reference's
+    `DataLoader(num_workers=8, batch_size=...)` (train...blender_14.py:1042-1049):
+    sample loading (PIL decode, cv2 rasterization) runs in a thread pool and up
+    to `prefetch_batches` assembled batches are kept in flight, so host IO
+    overlaps the compiled device step instead of starving it. Identical batch
+    order/content to batch_iterator for the same seed (same shuffle, same
+    remainder wrap-padding, same `skip_batches` resume fast-forward).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        num_workers: int = 8,
+        prefetch_batches: int = 2,
+        shuffle: bool = True,
+        drop_keys: Sequence[str] = ("img_key",),
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        from concurrent.futures import ThreadPoolExecutor
+
+        assert batch_size % process_count == 0, (batch_size, process_count)
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.prefetch_batches = prefetch_batches
+        self.shuffle = shuffle
+        self.drop_keys = drop_keys
+        # Multi-host: every process derives the SAME global shuffle from the
+        # seed, then loads only its contiguous slice of each global batch —
+        # the per-process feeding contract of
+        # jax.make_array_from_process_local_data (Trainer._globalize).
+        self.process_index = process_index
+        self.process_count = process_count
+        self._pool = ThreadPoolExecutor(max_workers=num_workers)
+
+    def __len__(self) -> int:
+        return epoch_batches(len(self.dataset), self.batch_size)
+
+    def epoch(self, seed: int = 0, skip_batches: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        import collections
+
+        order = list(range(len(self.dataset)))
+        rng = random.Random(seed)
+        if self.shuffle:
+            rng.shuffle(order)
+        batches: List[List[int]] = []
+        for bi, i in enumerate(range(0, len(order), self.batch_size)):
+            if bi < skip_batches:
+                continue
+            idxs = order[i : i + self.batch_size]
+            if len(idxs) < self.batch_size:
+                idxs = idxs + order[: self.batch_size - len(idxs)]
+            per_proc = self.batch_size // self.process_count
+            batches.append(idxs[self.process_index * per_proc : (self.process_index + 1) * per_proc])
+
+        pending: collections.deque = collections.deque()
+        it = iter(batches)
+
+        def submit() -> None:
+            idxs = next(it, None)
+            if idxs is not None:
+                pending.append([self._pool.submit(self.dataset.__getitem__, j) for j in idxs])
+
+        for _ in range(self.prefetch_batches + 1):
+            submit()
+        while pending:
+            futures = pending.popleft()
+            samples = [f.result() for f in futures]
+            submit()  # refill before yielding so workers stay busy during the step
+            yield _collate(samples, self.drop_keys)
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False, cancel_futures=True)
+
+
+def epoch_batches(n_samples: int, batch_size: int) -> int:
+    """Batches yielded per epoch by batch_iterator/PrefetchLoader (remainder
+    padded, not dropped) — used for resume fast-forward bookkeeping."""
+    return (n_samples + batch_size - 1) // batch_size
+
+
+def _collate(samples, drop_keys) -> Dict[str, np.ndarray]:
+    batch = {}
+    for k in samples[0]:
+        if k in drop_keys:
+            continue
+        batch[k] = np.stack([np.asarray(s[k]) for s in samples])
+    return batch
+
+
 def batch_iterator(
     dataset,
     batch_size: int,
     shuffle: bool = True,
     seed: int = 0,
     drop_keys: Sequence[str] = ("img_key",),
+    skip_batches: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Minimal epoch iterator collating dict samples into stacked batches.
-    Stands in for the reference's DataLoader(num_workers=8); swap for grain /
-    tf.data for production input pipelines."""
+    """Epoch iterator collating dict samples into stacked batches.
+
+    Remainder handling: the reference DataLoader keeps the final partial batch
+    (drop_last=False, train...blender_14.py:1042-1049); a shape change would
+    recompile the jitted step here, so the final batch is padded by wrapping
+    to the epoch's first indices — every sample is still seen once per epoch
+    and shapes stay static.
+
+    `skip_batches` fast-forwards consumed batches after a resume WITHOUT
+    loading their samples (the reference's skip loop,
+    train...blender_14.py:1209-1212) while keeping the epoch's shuffle order
+    identical to an uninterrupted run.
+    """
     order = list(range(len(dataset)))
     rng = random.Random(seed)
     if shuffle:
         rng.shuffle(order)
-    for i in range(0, len(order) - batch_size + 1, batch_size):
-        samples = [dataset[j] for j in order[i : i + batch_size]]
-        batch = {}
-        for k in samples[0]:
-            if k in drop_keys:
-                continue
-            batch[k] = np.stack([np.asarray(s[k]) for s in samples])
-        yield batch
+    for bi, i in enumerate(range(0, len(order), batch_size)):
+        if bi < skip_batches:
+            continue
+        idxs = order[i : i + batch_size]
+        if len(idxs) < batch_size:
+            idxs = idxs + order[: batch_size - len(idxs)]
+        yield _collate([dataset[j] for j in idxs], drop_keys)

@@ -39,7 +39,7 @@ def build_pipeline(checkpoint: Optional[str], svd_root: Optional[str], variant: 
     from posetraj_tpu.models import vae as vae_m
     from posetraj_tpu.pipeline import ModelBundle, SVDControlNetPipeline
 
-    bundle = ModelBundle.tiny(variant) if tiny else ModelBundle()
+    bundle = ModelBundle.tiny(variant) if tiny else ModelBundle.with_variant(variant)
     key = jax.random.PRNGKey(0)
     params = {
         "unet": unet_m.init_unet(key if svd_root is None else None, bundle.unet),
@@ -125,15 +125,14 @@ def run_vipseg(args, pipe):
 
 
 def run_blender(args, pipe):
-    """Blender eval: pre-rendered traj frames as control
-    (infer/run_inference_blender.py:311-420)."""
-    from PIL import Image
-
+    """Blender eval: pre-rendered traj frames as control; --bbox additionally
+    feeds rendered 3D-bbox wireframe maps to the dual-branch hint encoder
+    (infer/run_inference_blender.py:311-420; controlnet_sdv_bbox.py:110-136)."""
     from posetraj_tpu.data import TrajectoryBlenderDataset, export
 
     ds = TrajectoryBlenderDataset(
         args.data_root, sample_size=(args.height, args.width),
-        frame_length=args.num_frames, repeat_times=1, seed=0,
+        frame_length=args.num_frames, repeat_times=1, return_bbox=args.bbox, seed=0,
     )
     os.makedirs(args.out_dir, exist_ok=True)
     n = min(len(ds), args.limit) if args.limit else len(ds)
@@ -144,6 +143,7 @@ def run_blender(args, pipe):
         out = pipe(
             image[None], control[None], height=args.height, width=args.width,
             num_frames=args.num_frames, num_inference_steps=args.steps, seed=args.seed,
+            bbox_condition=((s["bbox_trajectories"][None] + 1.0) / 2.0 if args.bbox else None),
         )[0]
         vid_dir = os.path.join(args.out_dir, s["img_key"])
         export.export_to_images(out, os.path.join(vid_dir, "pred"))
@@ -156,6 +156,8 @@ def run_blender(args, pipe):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode", choices=["vipseg", "blender", "vipseg_cam"], default="vipseg")
+    p.add_argument("--bbox", action="store_true",
+                   help="blender mode: dual-branch bbox ControlNet fed rendered 3D-bbox maps")
     p.add_argument("--data_root", required=True)
     p.add_argument("--split_file", default=None)
     p.add_argument("--checkpoint", default=None, help="diffusers-format controlnet dir")
@@ -172,7 +174,7 @@ def main(argv=None):
     p.add_argument("--tiny", action="store_true", help="tiny bundle for smoke runs")
     args = p.parse_args(argv)
 
-    variant = "cam" if args.mode == "vipseg_cam" else "base"
+    variant = "cam" if args.mode == "vipseg_cam" else ("bbox" if args.bbox else "base")
     pipe = build_pipeline(args.checkpoint, args.svd_root, variant, tiny=args.tiny)
     if args.mode in ("vipseg", "vipseg_cam"):
         if not args.split_file:

@@ -2,8 +2,11 @@
 
 Per diffusers==0.24.0 unet_3d_blocks.py (consumed by the reference at
 unet_spatio_temporal_condition_controlnet.py:13 via get_down_block /
-get_up_block / UNetMidBlockSpatioTemporal). Epsilons follow 0.24.0: cross-attn
-blocks build resnets with eps=1e-6, plain and mid blocks with eps=1e-5.
+get_up_block / UNetMidBlockSpatioTemporal). Epsilons follow 0.24.0:
+CrossAttnDownBlockSpatioTemporal hardcodes resnet eps=1e-6, the plain down
+block and the mid block hardcode 1e-5, and BOTH up-block types land on their
+1e-6 defaults (the SDV branches of get_up_block never forward `resnet_eps`,
+so the UNet's resnet_eps=1e-5 argument is ignored on the up path).
 
 All blocks operate on fused-frame spatial tensors (B*F, H, W, C) with
 temb (B*F, temb_dim) and CLIP context (B*F, 1, cross_dim).
@@ -201,7 +204,9 @@ def up_block(
     """`skips` holds this block's residuals, consumed last-first
     (unet...controlnet.py:474-475)."""
     has_attn = "attentions" in params
-    eps = CROSS_ATTN_EPS if has_attn else PLAIN_EPS
+    # Both up-block types use eps=1e-6 (their class default; diffusers 0.24.0
+    # get_up_block's SDV branches drop the resnet_eps argument).
+    eps = CROSS_ATTN_EPS
     skips = list(skips)
     for i, res_p in enumerate(params["resnets"]):
         skip = skips.pop()

@@ -92,6 +92,122 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _flash_kernel_tq(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, s_len: int):
+    """Transposed-accumulator variant: one (batch*head, q-block) program.
+
+    Head_dim 64 puts BOTH matmuls of the natural layout at 50% MXU
+    utilization (QK^T contracts over 64; PV's output dim is 64). Computing the
+    kernel transposed fixes the PV half: S^T = K @ Q^T still contracts over
+    head_dim (50%), but acc^T = V^T @ P^T contracts over block_k with block_q
+    output lanes — full MXU width. Ceiling moves from ~1/2 to ~2/3 of peak.
+
+    Layouts (pre-transposed OUTSIDE the kernel by XLA, where the transpose
+    fuses into the surrounding reshape): q_ref (1, H, block_q);
+    k_ref (1, S_pad, H) natural; v_ref (1, H, S_pad); o_ref (1, H, block_q).
+    """
+    q_t = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # (H, bq)
+    head_dim, block_q = q_t.shape
+    s_pad = k_ref.shape[1]
+    num_kb = s_pad // block_k
+    needs_mask = s_len != s_pad
+
+    if num_kb == 1:
+        s = jax.lax.dot_general(
+            k_ref[0], q_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (S_pad, bq)
+        if needs_mask:
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            s = jnp.where(row < s_len, s, NEG_INF)
+        m = jnp.max(s, axis=0, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=0, keepdims=True)
+        acc = jax.lax.dot_general(
+            v_ref[0], p.astype(v_ref.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H, bq)
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        return
+
+    def body(j, carry):
+        m, l, acc = carry
+        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :]  # (bk, H)
+        v_blk = v_ref[0, :, pl.ds(j * block_k, block_k)]  # (H, bk)
+        s = jax.lax.dot_general(
+            k_blk, q_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bk, bq)
+        if needs_mask:
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + j * block_k
+            s = jnp.where(row < s_len, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=0, keepdims=True))  # (1, bq)
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            v_blk, p.astype(v_blk.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H, bq): contraction over block_k at full MXU width
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((1, block_q), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((1, block_q), jnp.float32)
+    acc0 = jnp.zeros((head_dim, block_q), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def flash_attention_tq(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """Transposed-accumulator flash attention over (B, S, N, H) — same
+    contract as flash_attention, faster at head_dim 64 (see _flash_kernel_tq)."""
+    b, s, n, h = q.shape
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * n, s, h)
+
+    qf, kf, vf = fold(q), fold(k), fold(v)
+
+    block_q = min(block_q, _round_up(s, 128))
+    block_k = min(block_k, _round_up(s, 128))
+    sq_pad = _round_up(s, block_q)
+    sk_pad = _round_up(s, block_k)
+    if sq_pad != s:
+        qf = jnp.pad(qf, ((0, 0), (0, sq_pad - s), (0, 0)))
+    if sk_pad != s:
+        pad = ((0, 0), (0, sk_pad - s), (0, 0))
+        kf = jnp.pad(kf, pad)
+        vf = jnp.pad(vf, pad)
+
+    q_t = qf.transpose(0, 2, 1)  # (B*N, H, Sq_pad)
+    v_t = vf.transpose(0, 2, 1)  # (B*N, H, Sk_pad)
+
+    grid = (b * n, sq_pad // block_q)
+    kernel = functools.partial(_flash_kernel_tq, scale=scale, block_k=block_k, s_len=s)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, h, block_q), lambda bi, qi: (bi, 0, qi)),
+            pl.BlockSpec((1, sk_pad, h), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, h, sk_pad), lambda bi, qi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h, block_q), lambda bi, qi: (bi, 0, qi)),
+        out_shape=jax.ShapeDtypeStruct((b * n, h, sq_pad), q.dtype),
+        interpret=interpret,
+    )(q_t, kf, v_t)
+
+    out = out.transpose(0, 2, 1)[:, :s, :].reshape(b, n, s, h).transpose(0, 2, 1, 3)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
 def flash_attention(
     q: jax.Array,

@@ -84,8 +84,13 @@ def group_norm(params: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e
     n = x.shape[0]
     c = x.shape[-1]
     if c % num_groups != 0:
+        if c >= num_groups:
+            # A real config with indivisible channels is a wiring bug; torch
+            # GroupNorm would also refuse it. Silently "fixing" the group
+            # count would change the math without a trace.
+            raise ValueError(f"group_norm: {c} channels not divisible by {num_groups} groups")
         # Tiny test configs have fewer channels than the standard 32 groups;
-        # fall back to the largest divisor (real configs are untouched).
+        # fall back to the largest divisor.
         import math
 
         num_groups = math.gcd(c, num_groups)

@@ -69,6 +69,14 @@ class ModelBundle:
             clip=CLIPVisionConfig.tiny(),
         )
 
+    @classmethod
+    def with_variant(cls, variant: str = "base") -> "ModelBundle":
+        """Flagship configs with a non-base hint-encoder variant (bbox/cam/
+        rot/entity/temp — SURVEY.md 2.3-2.8)."""
+        from posetraj_tpu.configs import HintEncoderConfig
+
+        return cls(controlnet=ControlNetConfig(hint=HintEncoderConfig(variant=variant)))
+
 
 def encode_image_clip(
     params: Dict,

@@ -32,12 +32,6 @@ def latest_checkpoint(root: str) -> Optional[str]:
     return os.path.join(root, dirs[-1]) if dirs else None
 
 
-def _checkpointer():
-    import orbax.checkpoint as ocp
-
-    return ocp.PyTreeCheckpointer()
-
-
 def save_checkpoint(
     root: str,
     step: int,
@@ -45,9 +39,12 @@ def save_checkpoint(
     keep_total_limit: Optional[int] = None,
 ) -> str:
     """Serialize a TrainState (or any pytree) under checkpoint-<step>."""
+    import orbax.checkpoint as ocp
+
     path = os.path.join(root, f"checkpoint-{step}")
     state = jax.device_get(state)
-    _checkpointer().save(os.path.join(path, "state"), state, force=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, "state"), state, force=True)
     if keep_total_limit:
         dirs = _ckpt_dirs(root)
         for d in dirs[: max(0, len(dirs) - keep_total_limit)]:
@@ -60,10 +57,8 @@ def restore_checkpoint(path: str, target: Any) -> Any:
     to build a cheap target)."""
     import orbax.checkpoint as ocp
 
-    restored = _checkpointer().restore(
-        os.path.join(path, "state"), item=jax.device_get(target)
-    )
-    return restored
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.join(path, "state"), jax.device_get(target))
 
 
 def export_diffusers(params: Any, model: str, out_path: str) -> str:

@@ -41,9 +41,17 @@ def parse_args(argv=None):
     p.add_argument("--checkpointing_steps", type=int, default=10000)
     p.add_argument("--checkpoints_total_limit", type=int, default=2)
     p.add_argument("--validation_steps", type=int, default=2500)
+    p.add_argument("--num_inference_steps", type=int, default=25,
+                   help="denoise steps for validation renders")
     p.add_argument("--conditioning_dropout_prob", type=float, default=0.1)
-    p.add_argument("--use_ema", action="store_true", default=True)
+    p.add_argument("--use_ema", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--num_workers", type=int, default=8,
+                   help="prefetch loader threads (reference DataLoader num_workers=8)")
     p.add_argument("--images_bbox", action="store_true", help="stage-1 bbox-composited targets")
+    p.add_argument("--bbox_supervision", action="store_true",
+                   help="stage-1 dual-branch bbox ControlNet: rendered 3D-bbox wireframe "
+                        "maps feed the second hint branch (controlnet_sdv_bbox.py:95-136; "
+                        "BASELINE configs[2])")
     p.add_argument("--filter_num", type=int, default=-1)
     p.add_argument("--cut_num", type=int, default=-1)
     p.add_argument("--cam_path", default=None)
@@ -51,6 +59,12 @@ def parse_args(argv=None):
     p.add_argument("--cam_norm", action="store_true")
     p.add_argument("--seed", type=int, default=23123134)
     p.add_argument("--resume_from_checkpoint", default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host pod run: call jax.distributed.initialize before device use")
+    p.add_argument("--coordinator_address", default=None,
+                   help="host:port of process 0 (auto-detected on Cloud TPU pods)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--n_model_shards", type=int, default=1)
     p.add_argument("--no_gradient_checkpointing", action="store_true")
     p.add_argument("--tiny", action="store_true", help="tiny model bundle (smoke runs)")
@@ -64,8 +78,8 @@ def build_dataset(args):
     if args.stage == "pretrain":
         return TrajectoryBlenderDataset(
             args.video_folder, sample_size=size, frame_length=args.num_frames,
-            images_bbox=args.images_bbox, filter_num=args.filter_num,
-            cut_num=args.cut_num, seed=args.seed,
+            images_bbox=args.images_bbox, return_bbox=args.bbox_supervision,
+            filter_num=args.filter_num, cut_num=args.cut_num, seed=args.seed,
         )
     split = args.split_file or os.path.join(args.video_folder, "train.txt")
     return TrajectoryVIPSegDataset(
@@ -78,11 +92,17 @@ def build_dataset(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.distributed:
+        # Must run before any other jax use on every process of the pod — the
+        # accelerate-launch equivalent (train...blender_14.py:821-827).
+        from posetraj_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(args.coordinator_address, args.num_processes, args.process_id)
     import jax
 
     from posetraj_tpu.configs import TrainConfig
     from posetraj_tpu.core.params import count_params, param_audit
-    from posetraj_tpu.data.datasets import batch_iterator
+    from posetraj_tpu.data.datasets import PrefetchLoader, epoch_batches
     from posetraj_tpu.models import clip as clip_m
     from posetraj_tpu.models import controlnet as cn
     from posetraj_tpu.models import unet as unet_m
@@ -93,8 +113,13 @@ def main(argv=None):
     from posetraj_tpu.train import checkpoints as ckpt
     from posetraj_tpu.utils import MetricsLogger
 
-    variant = "cam" if args.stage == "ft_cam" else "base"
-    bundle = ModelBundle.tiny(variant) if args.tiny else ModelBundle()
+    if args.stage == "ft_cam":
+        variant = "cam"
+    elif args.bbox_supervision:
+        variant = "bbox"
+    else:
+        variant = "base"
+    bundle = ModelBundle.tiny(variant) if args.tiny else ModelBundle.with_variant(variant)
 
     key = jax.random.PRNGKey(args.seed)
     frozen = {
@@ -138,7 +163,7 @@ def main(argv=None):
         gradient_checkpointing=not args.no_gradient_checkpointing,
     )
 
-    n_dev = jax.device_count()
+    n_dev = jax.device_count()  # global across all processes
     mesh = make_mesh(n_data=n_dev // args.n_model_shards, n_model=args.n_model_shards) if n_dev > 1 else None
     trainer = Trainer(bundle, tcfg, frozen, cn_params, mesh=mesh)
 
@@ -161,8 +186,13 @@ def main(argv=None):
 
     dataset = build_dataset(args)
     global_batch = args.per_device_batch_size * (mesh.shape["data"] if mesh else 1)
+    loader = PrefetchLoader(
+        dataset, global_batch, num_workers=args.num_workers,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
     step = int(trainer.state.step)
-    print(f"dataset: {len(dataset)} samples; global batch {global_batch}; devices {n_dev}")
+    print(f"dataset: {len(dataset)} samples; global batch {global_batch}; "
+          f"devices {n_dev}; processes {jax.process_count()}")
 
     def run_validation(current_step: int):
         """Render held-out samples with the in-training ControlNet and save
@@ -188,9 +218,10 @@ def main(argv=None):
             control = (s["trajectories"][None] + 1.0) / 2.0
             out = pipe(
                 image, control, height=args.height, width=args.width,
-                num_frames=args.num_frames, num_inference_steps=args.steps
-                if hasattr(args, "steps") else 25,
+                num_frames=args.num_frames, num_inference_steps=args.num_inference_steps,
                 camera_cond=(s["cam_parameter"][None] if "cam_parameter" in s else None),
+                bbox_condition=((s["bbox_trajectories"][None] + 1.0) / 2.0
+                                if "bbox_trajectories" in s else None),
                 seed=args.seed,
             )[0]
             export.save_side_by_side_gif(
@@ -199,27 +230,43 @@ def main(argv=None):
             )
         print(f"validation GIFs -> {vdir}")
 
-    for epoch in range(args.num_train_epochs):
-        for batch in batch_iterator(dataset, global_batch, seed=args.seed + epoch):
+    def save_and_export(current_step: int):
+        """Orbax state + diffusers-layout ControlNet AND its EMA twin — the
+        reference's save hook writes both controlnet/ and controlnet_ema/
+        (train...blender_14.py:940-947)."""
+        ckpt.save_checkpoint(args.output_dir, current_step, trainer.state, args.checkpoints_total_limit)
+        cdir = os.path.join(args.output_dir, f"checkpoint-{current_step}")
+        ckpt.export_diffusers(
+            trainer.state.controlnet_params, "controlnet", os.path.join(cdir, "controlnet")
+        )
+        if trainer.state.ema_params is not None:
+            ckpt.export_diffusers(
+                trainer.state.ema_params, "controlnet", os.path.join(cdir, "controlnet_ema")
+            )
+
+    # Resume fast-forward: continue the data order of an uninterrupted run by
+    # skipping already-consumed batches of the restored epoch
+    # (train...blender_14.py:1174-1197, 1209-1212). One batch == one trainer
+    # micro-step, so the restored step count maps directly onto batches.
+    bpe = epoch_batches(len(dataset), global_batch)
+    start_epoch, skip = divmod(step, bpe)
+    for epoch in range(start_epoch, args.num_train_epochs):
+        for batch in loader.epoch(seed=args.seed + epoch,
+                                  skip_batches=skip if epoch == start_epoch else 0):
             metrics = trainer.step(batch)
             step = int(trainer.state.step)
             logger.log(step, {k: v for k, v in metrics.items()})
             if step % 50 == 0:
                 print(f"step {step} loss {float(metrics['loss']):.4f}")
             if step and step % args.checkpointing_steps == 0:
-                ckpt.save_checkpoint(
-                    args.output_dir, step, trainer.state, args.checkpoints_total_limit
-                )
-                ckpt.export_diffusers(
-                    trainer.state.controlnet_params, "controlnet",
-                    os.path.join(args.output_dir, f"checkpoint-{step}", "controlnet"),
-                )
+                save_and_export(step)
             if args.validation_steps and step and step % args.validation_steps == 0:
                 run_validation(step)
             if args.max_train_steps and step >= args.max_train_steps:
                 break
         if args.max_train_steps and step >= args.max_train_steps:
             break
+    loader.close()
 
     ckpt.save_checkpoint(args.output_dir, step, trainer.state, args.checkpoints_total_limit)
     print(f"done at step {step}")

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import optax
 
 from posetraj_tpu.configs import EDMConfig, TrainConfig
-from posetraj_tpu.core.params import ema_update
+from posetraj_tpu.core.params import ema_decay_schedule, ema_update
 from posetraj_tpu.diffusion.edm import edm_loss_weight, edm_scalings, rand_cosine_interpolated
 from posetraj_tpu.models import clip as clip_m
 from posetraj_tpu.models import controlnet as cn
@@ -227,11 +227,19 @@ def make_train_step(bundle: ModelBundle, tcfg: TrainConfig, optimizer, compute_d
         )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.controlnet_params)
         new_params = optax.apply_updates(state.controlnet_params, updates)
-        new_ema = (
-            ema_update(state.ema_params, new_params, tcfg.ema_decay)
-            if state.ema_params is not None
-            else None
-        )
+        if state.ema_params is not None:
+            # EMA steps only on gradient-sync boundaries (the reference steps
+            # under `if accelerator.sync_gradients`, train...blender_14.py:1379)
+            # with the diffusers warmup ramp; off-sync micro-steps use decay=1
+            # (a no-op, params are unchanged under MultiSteps anyway).
+            accum = tcfg.gradient_accumulation_steps
+            micro = state.step + 1
+            is_sync = (micro % accum) == 0
+            opt_step = micro // accum
+            decay = jnp.where(is_sync, ema_decay_schedule(opt_step, tcfg.ema_decay), 1.0)
+            new_ema = ema_update(state.ema_params, new_params, decay)
+        else:
+            new_ema = None
         metrics["grad_norm"] = optax.global_norm(grads)
         return (
             TrainState(step=state.step + 1, controlnet_params=new_params, ema_params=new_ema, opt_state=new_opt),
@@ -300,11 +308,23 @@ class Trainer:
             )
             self.rng = jax.device_put(self.rng, replicated(mesh))
 
+    def _globalize(self, v) -> jax.Array:
+        """Host batch -> global sharded array on the mesh "data" axis.
+
+        Multi-process (pod) runs assemble the global batch from each process's
+        local slice via jax.make_array_from_process_local_data — the
+        jax.distributed equivalent of the reference's per-rank DataLoader
+        under Accelerate DDP (train...blender_14.py:1042-1049, 1066-1069).
+        Single-controller runs keep the plain device_put fast path."""
+        import numpy as np
+
+        sharding = batch_sharding(self.mesh, jnp.asarray(v).ndim)
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        return jax.device_put(v, sharding)
+
     def step(self, batch: Dict[str, jax.Array]):
         if self.mesh is not None:
-            batch = {
-                k: jax.device_put(v, batch_sharding(self.mesh, jnp.asarray(v).ndim))
-                for k, v in batch.items()
-            }
+            batch = {k: self._globalize(v) for k, v in batch.items()}
         self.state, metrics = self._step(self.state, self.frozen_params, batch, self.rng)
         return metrics

@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from posetraj_tpu.ops.pallas_attention import flash_attention
+from posetraj_tpu.ops.attention import _xla_attention
+from posetraj_tpu.ops.pallas_attention import flash_attention, flash_attention_tq
 
 SHAPES = [  # (name, fold_batch, seq, heads_folded=1, head_dim)
     ("L0 S=9216", 140, 9216, 64),
@@ -48,6 +49,8 @@ def main():
     ap.add_argument("--blocks", nargs="*", default=["512,1024"],
                     help="list of block_q,block_k pairs to sweep")
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--kernel", choices=["nat", "tq", "xla", "both"], default="both",
+                    help="natural layout, transposed-accumulator, or both")
     args = ap.parse_args()
 
     print(f"backend={jax.default_backend()}")
@@ -57,17 +60,22 @@ def main():
         k = jax.random.normal(key, (bn, s, 1, h), jnp.bfloat16)
         v = jax.random.normal(key, (bn, s, 1, h), jnp.bfloat16)
         flops = 4.0 * bn * s * s * h
+        kernels = {"nat": flash_attention, "tq": flash_attention_tq,
+                   "xla": lambda q, k, v, scale, block_q, block_k: _xla_attention(q, k, v, scale)}
+        wanted = ["nat", "tq"] if args.kernel == "both" else [args.kernel]
         for pair in args.blocks:
             bq, bk = (int(x) for x in pair.split(","))
-            try:
-                t = time_call(
-                    lambda q, k, v: flash_attention(q, k, v, scale=h**-0.5, block_q=bq, block_k=bk),
-                    (q, k, v), iters=args.iters,
-                )
-            except Exception as e:  # noqa: BLE001 - sweep over possibly-invalid configs
-                print(f"{name} bq={bq} bk={bk}: FAILED {type(e).__name__}: {str(e)[:120]}")
-                continue
-            print(f"{name} bq={bq} bk={bk}: {t*1e3:.2f} ms  {flops/t/1e12:.1f} TF/s")
+            for kname in wanted:
+                fn = kernels[kname]
+                try:
+                    t = time_call(
+                        lambda q, k, v, fn=fn: fn(q, k, v, scale=h**-0.5, block_q=bq, block_k=bk),
+                        (q, k, v), iters=args.iters,
+                    )
+                except Exception as e:  # noqa: BLE001 - sweep over possibly-invalid configs
+                    print(f"{name} {kname} bq={bq} bk={bk}: FAILED {type(e).__name__}: {str(e)[:120]}")
+                    continue
+                print(f"{name} {kname} bq={bq} bk={bk}: {t*1e3:.2f} ms  {flops/t/1e12:.1f} TF/s")
 
 
 if __name__ == "__main__":

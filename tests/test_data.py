@@ -196,3 +196,98 @@ def test_resilient_dataset():
     ds = ResilientDataset(Flaky(), seed=0)
     out = ds[0]  # resamples instead of raising (dataset.py:83-94 behavior)
     assert out["x"] != 0
+
+
+def test_batch_iterator_remainder_padding_and_skip():
+    """Remainder batches are wrap-padded (reference DataLoader keeps the last
+    partial batch; we pad for static shapes) and skip_batches fast-forwards
+    without changing the epoch order."""
+    from posetraj_tpu.data.datasets import epoch_batches
+
+    class Ix:
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            return {"x": np.asarray([i], np.float32)}
+
+    ds = Ix()
+    batches = list(batch_iterator(ds, batch_size=2, shuffle=False, seed=0))
+    assert len(batches) == epoch_batches(5, 2) == 3
+    assert [b["x"][:, 0].tolist() for b in batches] == [[0, 1], [2, 3], [4, 0]]
+    skipped = list(batch_iterator(ds, batch_size=2, shuffle=False, seed=0, skip_batches=2))
+    assert [b["x"][:, 0].tolist() for b in skipped] == [[4, 0]]
+    # shuffled epochs are reproducible across the two entry points
+    a = list(batch_iterator(ds, batch_size=2, seed=7))
+    b = list(batch_iterator(ds, batch_size=2, seed=7))
+    assert all(np.array_equal(x["x"], y["x"]) for x, y in zip(a, b))
+
+
+def test_prefetch_loader_matches_batch_iterator():
+    from posetraj_tpu.data.datasets import PrefetchLoader
+
+    class Ix:
+        def __len__(self):
+            return 7
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.float32)}
+
+    ds = Ix()
+    loader = PrefetchLoader(ds, batch_size=3, num_workers=4)
+    got = list(loader.epoch(seed=3))
+    want = list(batch_iterator(ds, batch_size=3, seed=3))
+    assert len(got) == len(want) == len(loader)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g["x"], w["x"])
+    # resume fast-forward parity too
+    got2 = list(loader.epoch(seed=3, skip_batches=2))
+    np.testing.assert_array_equal(got2[0]["x"], want[2]["x"])
+    loader.close()
+
+
+def test_prefetch_loader_overlaps_loading():
+    """Loader IO hides behind a fake device step (VERDICT next-#9): consuming
+    an epoch with a slow __getitem__ plus a fake step takes ~max(io, step) per
+    batch, not their sum."""
+    import time
+
+    from posetraj_tpu.data.datasets import PrefetchLoader
+
+    class Slow:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            time.sleep(0.05)  # releases the GIL like PIL/cv2 do
+            return {"x": np.asarray([i], np.float32)}
+
+    loader = PrefetchLoader(Slow(), batch_size=2, num_workers=4, prefetch_batches=2)
+    it = loader.epoch(seed=0)
+    first = next(it)  # warm the pipeline
+    t0 = time.monotonic()
+    for batch in it:
+        time.sleep(0.08)  # fake step
+    elapsed = time.monotonic() - t0
+    serial = 3 * (2 * 0.05 + 0.08)  # 3 remaining batches, serial IO + step
+    assert elapsed < serial * 0.8, (elapsed, serial)
+    loader.close()
+
+
+def test_prefetch_loader_per_process_slices():
+    """Multi-host feeding contract: per-process loaders carve the SAME global
+    batch into contiguous slices (Trainer._globalize reassembles them)."""
+    from posetraj_tpu.data.datasets import PrefetchLoader
+
+    class Ix:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return {"x": np.asarray([i], np.float32)}
+
+    full = list(PrefetchLoader(Ix(), batch_size=4).epoch(seed=5))
+    p0 = list(PrefetchLoader(Ix(), batch_size=4, process_index=0, process_count=2).epoch(seed=5))
+    p1 = list(PrefetchLoader(Ix(), batch_size=4, process_index=1, process_count=2).epoch(seed=5))
+    for f, a, b in zip(full, p0, p1):
+        np.testing.assert_array_equal(f["x"], np.concatenate([a["x"], b["x"]]))

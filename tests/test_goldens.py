@@ -67,6 +67,10 @@ def test_unet_golden_regression():
 
 
 if __name__ == "__main__":
+    # Goldens are pinned on CPU fp32 (matching the pytest run via conftest);
+    # this image's sitecustomize pins JAX_PLATFORMS=axon, so override before
+    # any backend initializes.
+    jax.config.update("jax_platforms", "cpu")
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     np.savez(os.path.join(GOLDEN_DIR, "unet_tiny.npz"), **_compute_goldens())
-    print("goldens regenerated")
+    print("goldens regenerated on", jax.default_backend())

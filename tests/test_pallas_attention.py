@@ -64,3 +64,19 @@ def test_fused_group_norm_matches_xla():
     expect = silu(group_norm(params, x, 32, 1e-5))
     got = fused_group_norm(x, params["scale"], params["bias"], 32, 1e-5, act=True, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("s,h,n", [(128, 64, 2), (300, 64, 1), (576, 64, 1), (1024, 128, 2)])
+def test_flash_tq_matches_xla(s, h, n):
+    """Transposed-accumulator kernel parity (interpret mode)."""
+    from posetraj_tpu.ops.pallas_attention import flash_attention_tq
+
+    rng = np.random.RandomState(1)
+    b = 2
+    q = jnp.asarray(rng.randn(b, s, n, h), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, n, h), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, n, h), jnp.float32)
+    scale = h**-0.5
+    ref = _xla_attention(q, k, v, scale)
+    out = flash_attention_tq(q, k, v, scale, block_q=256, block_k=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)

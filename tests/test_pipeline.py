@@ -102,3 +102,36 @@ def test_pipeline_camera_variant():
                camera_cond=cam, seed=2)
     assert out.shape == (1, F, H, W, 3)
     assert np.isfinite(out).all()
+
+
+def test_pipeline_bbox_variant():
+    """Dual-branch bbox hint encoder end-to-end (BASELINE configs[2]):
+    nonzero bbox wireframe maps flow through the second branch and change the
+    output (controlnet_sdv_bbox.py:110-136)."""
+    bundle = ModelBundle.tiny("bbox")
+    key = jax.random.PRNGKey(3)
+    params = {
+        "unet": unet_m.init_unet(key, bundle.unet),
+        "controlnet": cn.init_controlnet(key, bundle.controlnet),
+        "vae": vae_m.init_vae(key, bundle.vae),
+        "clip": clip_m.init_clip_vision(key, bundle.clip),
+    }
+    # branch 2 and the residual heads end in zero convs (controlnet_sdv_bbox.py
+    # zero_module) — give them nonzero weights so the liveness assertion below
+    # is meaningful
+    co = params["controlnet"]["controlnet_cond_embedding"]["stack_2"]["conv_out"]
+    co["kernel"] = jax.random.normal(jax.random.PRNGKey(9), co["kernel"].shape) * 0.05
+    for i, zc in enumerate(params["controlnet"]["controlnet_down_blocks"]):
+        zc["kernel"] = jax.random.normal(jax.random.PRNGKey(10 + i), zc["kernel"].shape) * 0.05
+    pipe = SVDControlNetPipeline(params, bundle)
+    image = np.random.RandomState(0).rand(1, H, W, 3).astype(np.float32)
+    control = np.random.RandomState(1).rand(1, F, H, W, 3).astype(np.float32)
+    bbox = np.zeros((1, F, H, W, 3), np.float32)
+    bbox[:, :, 16:48, 16:48] = 1.0  # wireframe-ish nonzero region
+    out = pipe(image, control, height=H, width=W, num_frames=F,
+               num_inference_steps=2, seed=1, bbox_condition=bbox)
+    assert out.shape == (1, F, H, W, 3)
+    assert np.isfinite(out).all()
+    out_zero = pipe(image, control, height=H, width=W, num_frames=F,
+                    num_inference_steps=2, seed=1, bbox_condition=np.zeros_like(bbox))
+    assert np.abs(out - out_zero).max() > 0  # second branch is live

@@ -140,3 +140,58 @@ def test_cam_variant_training_loss(setup):
         edm_training_loss, static_argnums=(2, 3), static_argnames=("compute_dtype",)
     )(cn_params, frozen, bundle, tcfg, batch, jax.random.PRNGKey(0), compute_dtype=jnp.float32)
     assert np.isfinite(float(loss))
+
+
+def test_ema_decay_ramp():
+    """diffusers EMAModel.get_decay semantics: 0 on the first update (shadow
+    := params), (1+s)/(10+s) ramp afterwards, capped at max_decay
+    (train...blender_14.py:920-923, 1379-1380)."""
+    from posetraj_tpu.core.params import ema_decay_schedule
+
+    assert float(ema_decay_schedule(jnp.asarray(1))) == 0.0
+    np.testing.assert_allclose(float(ema_decay_schedule(jnp.asarray(2))), 2.0 / 11.0, rtol=1e-6)
+    np.testing.assert_allclose(float(ema_decay_schedule(jnp.asarray(5))), 5.0 / 14.0, rtol=1e-6)
+    assert float(ema_decay_schedule(jnp.asarray(10_000_000))) == pytest.approx(0.9999)
+
+
+def test_ema_steps_only_on_sync_and_ramps(setup):
+    """With grad accumulation 2: EMA equals params exactly after the first
+    optimizer update, is untouched on off-sync micro-steps, and blends with
+    the ramp decay on the second update."""
+    bundle, frozen, cn_params = setup
+    tcfg = TrainConfig(gradient_checkpointing=False, gradient_accumulation_steps=2,
+                       use_spatial_loss=False, lr_warmup_steps=0, learning_rate=1e-3)
+    trainer = Trainer(bundle, tcfg, frozen, cn_params, compute_dtype=jnp.float32)
+
+    def leaf(tree):
+        return np.asarray(jax.tree_util.tree_leaves(tree)[0])
+
+    trainer.step(_batch())
+    trainer.step(_batch())  # first sync -> decay 0 -> ema := params
+    p1, e1 = leaf(trainer.state.controlnet_params), leaf(trainer.state.ema_params)
+    np.testing.assert_array_equal(p1, e1)
+    trainer.step(_batch())  # off-sync micro-step: ema untouched
+    np.testing.assert_array_equal(leaf(trainer.state.ema_params), e1)
+    trainer.step(_batch())  # second sync: decay = 2/11
+    p2, e2 = leaf(trainer.state.controlnet_params), leaf(trainer.state.ema_params)
+    d = 2.0 / 11.0
+    np.testing.assert_allclose(e2, d * p1 + (1 - d) * p2, rtol=1e-5, atol=1e-7)
+
+
+def test_bbox_variant_training_loss(setup):
+    """Stage-1 bbox-supervised pretrain path: nonzero bbox wireframe maps flow
+    through the dual-branch hint encoder during training (VERDICT next-#8;
+    controlnet_sdv_bbox.py:95-136)."""
+    _, frozen, _ = setup
+    bundle = ModelBundle.tiny("bbox")
+    cn_params = cn.init_controlnet(jax.random.PRNGKey(3), bundle.controlnet)
+    tcfg = TrainConfig(gradient_checkpointing=False, gradient_accumulation_steps=1,
+                       use_spatial_loss=False, lr_warmup_steps=0)
+    batch = _batch()
+    bbox = np.zeros((B, F, H, W, 3), np.float32)
+    bbox[:, :, 20:40, 20:40] = 1.0
+    batch["bbox_trajectories"] = jnp.asarray(bbox * 2 - 1)
+    loss, metrics = jax.jit(
+        edm_training_loss, static_argnums=(2, 3), static_argnames=("compute_dtype",)
+    )(cn_params, frozen, bundle, tcfg, batch, jax.random.PRNGKey(0), compute_dtype=jnp.float32)
+    assert np.isfinite(float(loss))

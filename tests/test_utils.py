@@ -27,3 +27,20 @@ def test_metrics_logger(tmp_path):
     lines = [json.loads(l) for l in open(logger.path)]
     assert lines[0]["step"] == 1 and lines[0]["loss"] == 0.5
     assert lines[1]["lr"] == 1e-5
+
+
+def test_group_norm_rejects_indivisible_real_channels():
+    """Indivisible channel/group combos must fail loudly for real-scale
+    configs (only the tiny c < num_groups test configs may fall back)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from posetraj_tpu.ops.primitives import group_norm
+
+    params = {"scale": jnp.ones((48,)), "bias": jnp.zeros((48,))}
+    with pytest.raises(ValueError, match="not divisible"):
+        group_norm(params, jnp.ones((1, 4, 4, 48)), num_groups=32)
+    # tiny fallback still works
+    small = {"scale": jnp.ones((8,)), "bias": jnp.zeros((8,))}
+    out = group_norm(small, jnp.ones((1, 4, 4, 8)), num_groups=32)
+    assert out.shape == (1, 4, 4, 8)
