@@ -49,7 +49,10 @@ def main():
     if on_tpu:
         height, width, frames, steps = 576, 1024, 14, 25
         bundle = ModelBundle()
-        decode_chunk = 7
+        # decode_chunk is the reference pipeline's own memory knob
+        # (decode_chunk_size); 2 is what fits full-res decode in 16G HBM
+        # (7-frame chunks peak ~16.3G in conv temps alone).
+        decode_chunk = 2
     else:
         height, width, frames, steps = 64, 64, 2, 2
         bundle = ModelBundle.tiny()

@@ -62,6 +62,7 @@ class TrajectoryBlenderDataset:
         depth_bbox: bool = False,
         return_rot: bool = False,
         return_bbox: bool = False,
+        mask_initial: bool = False,
         filter_num: int = -1,
         cut_num: int = -1,
         seed: Optional[int] = None,
@@ -78,6 +79,7 @@ class TrajectoryBlenderDataset:
         self.frame_length = frame_length
         self.return_rot = return_rot
         self.return_bbox = return_bbox
+        self.mask_initial = mask_initial
         self.rng = random.Random(seed)
 
         vids = sorted(os.listdir(path))
@@ -138,6 +140,24 @@ class TrajectoryBlenderDataset:
             sample["bbox_trajectories"] = np.broadcast_to(
                 _normalize(bbox)[None], trajs.shape
             ).copy()
+        if self.mask_initial:
+            # First control frame masked to the object's 2D bbox (reference
+            # dataset.py:374-379): mask built at NATIVE resolution from
+            # `bbox_2d.py` (an .npy despite the extension), rows indexed by
+            # the bbox x coords exactly as written there, applied before the
+            # resize like the reference's pixel_transforms ordering.
+            from PIL import Image
+
+            raw0 = _load_image(os.path.join(vdir, "traj_vid_enhanced", traj_list[start]))
+            bbox_2d = np.load(os.path.join(vdir, "bbox_2d.py"))
+            x0, x1 = int(bbox_2d[0][0]), int(bbox_2d[1][0])
+            y0, y1 = int(bbox_2d[0][1]), int(bbox_2d[1][1])
+            mask = np.zeros(raw0.shape, raw0.dtype)
+            mask[x0:x1, y0:y1] = 1.0
+            masked = Image.fromarray((raw0 * mask).astype(np.uint8)).resize(
+                (self.sample_size[1], self.sample_size[0]), Image.BILINEAR
+            )
+            sample["initial_mask"] = _normalize(np.asarray(masked, np.float32))
         return sample
 
 

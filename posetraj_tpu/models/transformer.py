@@ -92,6 +92,26 @@ def init_feed_forward(key: jax.Array, dim: int, dim_out: Optional[int] = None, m
 
 
 def feed_forward(params: dict, x: jax.Array, compute_dtype=None) -> jax.Array:
+    """GEGLU FF. On TPU at production shapes this dispatches to the fused
+    Pallas MLP kernel (ops/pallas_mlp.py), which keeps the gated intermediate
+    in VMEM instead of round-tripping ~1.3 GB through HBM per L0 call —
+    v5e-measured: L0 11.4->9.3 ms, L1 8.6->7.0 ms per FF. Gradients route
+    through the plain XLA formulation (custom_vjp), so training is exact."""
+    from posetraj_tpu.ops.pallas_mlp import fused_geglu_applicable, fused_geglu_mlp
+
+    w1 = params["proj_in"]["kernel"]
+    if fused_geglu_applicable(x, w1):
+        dt = compute_dtype or x.dtype
+        k = w1.shape[0]
+        flat = x.reshape(-1, k).astype(dt)
+        out = fused_geglu_mlp(
+            flat,
+            w1.astype(dt),
+            params["proj_in"]["bias"].astype(dt),
+            params["proj_out"]["kernel"].astype(dt),
+            params["proj_out"]["bias"].astype(dt),
+        )
+        return out.reshape(*x.shape[:-1], out.shape[-1])
     return linear(params["proj_out"], geglu(params["proj_in"], x, compute_dtype), compute_dtype)
 
 

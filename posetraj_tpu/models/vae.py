@@ -160,13 +160,15 @@ def init_temporal_decoder(key: jax.Array, cfg: VAEConfig) -> dict:
     p: dict = {
         "conv_in": conv_init(ks[0], (3, 3, cfg.latent_channels, boc[-1])),
     }
-    mks = rsplit(ks[1], 3)
+    # MidBlockTemporalDecoder(num_layers=layers_per_block): resnet_0 -> attn
+    # -> resnet_1.. (2 resnets at the flagship layers_per_block=2).
+    mks = rsplit(ks[1], cfg.layers_per_block + 1)
     p["mid_block"] = {
         "resnets": [
-            init_spatio_temporal_res_block(mks[0], boc[-1], boc[-1], None, merge_factor=0.0),
-            init_spatio_temporal_res_block(mks[1], boc[-1], boc[-1], None, merge_factor=0.0),
+            init_spatio_temporal_res_block(mks[j], boc[-1], boc[-1], None, merge_factor=0.0)
+            for j in range(cfg.layers_per_block)
         ],
-        "attention": init_vae_attention(mks[2], boc[-1]),
+        "attention": init_vae_attention(mks[-1], boc[-1]),
     }
     p["up_blocks"] = []
     rev = list(reversed(boc))
@@ -217,8 +219,13 @@ def decode(
     h = conv2d(params["conv_in"], z.astype(compute_dtype), compute_dtype=compute_dtype)
     mb = params["mid_block"]
     h = _decoder_res_block(mb["resnets"][0], h, num_frames, indicator, cfg, compute_dtype)
-    h = vae_attention(mb["attention"], h, eps=cfg.eps, compute_dtype=compute_dtype)
-    h = _decoder_res_block(mb["resnets"][1], h, num_frames, indicator, cfg, compute_dtype)
+    # MidBlockTemporalDecoder.forward: `for resnet, attn in zip(resnets[1:],
+    # attentions)` — with a single attention the zip yields at most ONE
+    # (attn -> resnet) pair, and yields none at layers_per_block=1 (the
+    # attention exists as a parameter but is never applied). Mirror exactly.
+    for res_p in mb["resnets"][1:2]:
+        h = vae_attention(mb["attention"], h, eps=cfg.eps, compute_dtype=compute_dtype)
+        h = _decoder_res_block(res_p, h, num_frames, indicator, cfg, compute_dtype)
 
     for block in params["up_blocks"]:
         for res_p in block["resnets"]:

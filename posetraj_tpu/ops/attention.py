@@ -63,18 +63,22 @@ def attention(
             backend = "pallas"
 
     if backend == "pallas":
-        from posetraj_tpu.ops.pallas_attention import flash_attention
+        # Transposed-accumulator kernel: at head_dim 64 the PV matmul runs at
+        # full MXU width (see pallas_attention._flash_kernel_tq). v5e-measured
+        # vs the natural layout: S=9216 61->79 TF/s, S=2304 26->32 TF/s.
+        from posetraj_tpu.ops.pallas_attention import flash_attention_tq
 
-        # Block sizes tuned on v5e (see tests/perf notes): long sequences like
-        # 9216 spatial tokens favor (512, 1024); mid-range favors (512, 512);
-        # short sequences run a single K block.
+        # Block sizes from the scripts/bench_attention.py sweep on v5e: long
+        # sequences favor (1024, 1024) (fits VMEM in this layout; the natural
+        # one does not), mid-range (512, 512); short sequences clamp to a
+        # single K block.
         if sq >= 4096:
-            bq, bk = 512, 1024
+            bq, bk = 1024, 1024
         elif sq >= 1024:
             bq, bk = 512, 512
         else:
-            bq, bk = 512, 1024  # both clamp to the padded sequence => 1 block
-        out = flash_attention(qh, kh, vh, scale=scale, block_q=bq, block_k=bk)
+            bq, bk = 1024, 1024  # both clamp to the padded sequence => 1 block
+        out = flash_attention_tq(qh, kh, vh, scale=scale, block_q=bq, block_k=bk)
     else:
         out = _xla_attention(qh, kh, vh, scale)
     return out.reshape(b, sq, d)

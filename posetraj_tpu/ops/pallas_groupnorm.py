@@ -72,7 +72,10 @@ def fused_group_norm(
     c = x.shape[-1]
     xf = x.reshape(n, -1, c)
     s = xf.shape[1]
-    rb = _largest_divisor(s, 1024)
+    # Row blocks bounded in bytes, not rows: (rb, C) tiles must fit scoped
+    # VMEM with double buffering + the fp32 normalize intermediate (~16M
+    # limit), so wide-channel shapes take proportionally shorter blocks.
+    rb = _largest_divisor(s, max(8, (1 << 18) // c))
     nb = s // rb
     cg = c // num_groups
 
@@ -112,22 +115,30 @@ def fused_group_norm(
 
 
 def fused_group_norm_applicable(x: jax.Array, num_groups: int) -> bool:
-    """Dispatch gate — currently OFF.
+    """Dispatch gate.
 
-    Measured on v5e at UNet level-0/1 shapes: this two-kernel scheme runs
-    3.55ms / 1.84ms vs XLA's 2.36ms / 1.64ms for groupnorm+silu — XLA's own
-    fusion already keeps the op at ~2 passes, and the kernel-boundary
-    stats round-trip costs more than it saves. Kept (with parity tests) as
-    the substrate for a future conv-epilogue fusion; enable via
-    POSETRAJ_FUSED_GROUPNORM=1 for experiments.
+    Speed: measured on v5e at UNet level-0/1 shapes this two-kernel scheme
+    runs 3.55ms / 1.84ms vs XLA's 2.36ms / 1.64ms for groupnorm+silu — XLA's
+    own fusion already keeps the op at ~2 passes, so mid-sized shapes stay on
+    XLA (POSETRAJ_FUSED_GROUPNORM=1 forces the kernel for experiments).
+
+    Memory: at VAE-decoder production shapes (e.g. (7, 576, 1024, 256) —
+    100M+ elements) XLA materializes the fp32-widened normalize chain as
+    multi-GB HLO temps and the 576x1024 decode OOMs 15.75G HBM. The Pallas
+    kernels touch only row blocks, so giant activations always dispatch here.
     """
     import os
 
-    if os.environ.get("POSETRAJ_FUSED_GROUPNORM") != "1":
-        return False
     if jax.default_backend() != "tpu":
         return False
     c = x.shape[-1]
     if c % num_groups != 0 or c % 8 != 0:
         return False
-    return math.prod(x.shape[1:-1]) >= 64
+    if math.prod(x.shape[1:-1]) < 64:
+        return False
+    if os.environ.get("POSETRAJ_FUSED_GROUPNORM") == "1":
+        return True
+    # 2^28 elements ~ the VAE decoder's two largest stages at 576x1024
+    # ((7,576,1024,256) and (7,288,512,512)); every UNet shape (<=248M at the
+    # L0 up-block concat) stays on XLA, which is faster there.
+    return math.prod(x.shape) >= (1 << 28)

@@ -196,15 +196,31 @@ def decode_latents(
     compute_dtype=jnp.float32,
 ) -> jax.Array:
     """(B, F, h, w, 4) -> (B, F, H, W, 3) fp32 in [-1,1]; chunked frame decode
-    (pipeline...controlnet.py:225-251). Chunks are a static Python loop (at
-    most ceil(F/chunk) VAE graphs, each reused across calls)."""
+    (pipeline...controlnet.py:225-251).
+
+    When the chunk size divides B*F the chunks run under `lax.map` — one
+    compiled decoder body executed sequentially, so peak HBM is a single
+    chunk's activations regardless of frame count (the decode_chunk_size knob
+    is the reference's own memory lever; at 576x1024 on a 16G chip small
+    chunks are what make full-res decode fit). Ragged tails fall back to a
+    static Python loop (at most 2 distinct chunk graphs)."""
     b, f = latents.shape[:2]
     flat = latents.reshape(b * f, *latents.shape[2:]) / bundle.vae.scaling_factor
-    outs = []
-    for i in range(0, b * f, decode_chunk_size):
-        chunk = flat[i : i + decode_chunk_size]
-        outs.append(vae_m.decode(params["vae"]["decoder"], bundle.vae, chunk, chunk.shape[0], compute_dtype))
-    frames = jnp.concatenate(outs, axis=0).astype(jnp.float32)
+    if (b * f) % decode_chunk_size == 0 and (b * f) // decode_chunk_size > 1:
+        stacked = flat.reshape(-1, decode_chunk_size, *flat.shape[1:])
+        frames = jax.lax.map(
+            lambda chunk: vae_m.decode(
+                params["vae"]["decoder"], bundle.vae, chunk, decode_chunk_size, compute_dtype
+            ),
+            stacked,
+        )
+        frames = frames.reshape(b * f, *frames.shape[2:]).astype(jnp.float32)
+    else:
+        outs = []
+        for i in range(0, b * f, decode_chunk_size):
+            chunk = flat[i : i + decode_chunk_size]
+            outs.append(vae_m.decode(params["vae"]["decoder"], bundle.vae, chunk, chunk.shape[0], compute_dtype))
+        frames = jnp.concatenate(outs, axis=0).astype(jnp.float32)
     return frames.reshape(b, f, *frames.shape[1:])
 
 
@@ -262,7 +278,11 @@ def generate(
     )
     if output_latent:
         return latents
-    frames = decode_latents(params, bundle, latents, pcfg.decode_chunk_size)
+    # Decode in the session compute dtype (bf16 on TPU) — the reference's VAE
+    # is fp16 at decode time (only *encode* gets the fp32 upcast,
+    # pipeline...controlnet.py:453-462); fp32 decode at 576x1024 also
+    # quadruples the decoder's activation footprint past HBM.
+    frames = decode_latents(params, bundle, latents, pcfg.decode_chunk_size, compute_dtype)
     return jnp.clip(frames / 2.0 + 0.5, 0.0, 1.0)  # postprocess to [0,1]
 
 

@@ -28,6 +28,7 @@ class Attention(nn.Module):
         eps: float = 1e-5,
         rescale_output_factor: float = 1.0,
         residual_connection: bool = False,
+        norm_num_groups: Optional[int] = None,
         processor=None,
         out_dim: int = None,
         **unused,
@@ -47,7 +48,14 @@ class Attention(nn.Module):
         self.heads = out_dim // dim_head if out_dim is not None else heads
         self.only_cross_attention = only_cross_attention
 
-        self.group_norm = None
+        # VAE mid-block attention passes norm_num_groups=32 (residual single-
+        # head config used by Encoder/TemporalDecoder mid blocks).
+        if norm_num_groups is not None:
+            self.group_norm = nn.GroupNorm(
+                num_channels=query_dim, num_groups=norm_num_groups, eps=eps, affine=True
+            )
+        else:
+            self.group_norm = None
         self.spatial_norm = None
         self.norm_cross = None
 
@@ -105,6 +113,9 @@ class AttnProcessor2_0:
         batch_size, sequence_length, _ = (
             hidden_states.shape if encoder_hidden_states is None else encoder_hidden_states.shape
         )
+
+        if attn.group_norm is not None:
+            hidden_states = attn.group_norm(hidden_states.transpose(1, 2)).transpose(1, 2)
 
         query = attn.to_q(hidden_states)
         if encoder_hidden_states is None:

@@ -31,6 +31,9 @@ class Downsample2D(nn.Module):
 
     def forward(self, hidden_states, scale: float = 1.0):
         assert hidden_states.shape[1] == self.channels
+        if self.use_conv and self.padding == 0:
+            # VAE encoder downsample: torch asymmetric (0,1,0,1) pad
+            hidden_states = F.pad(hidden_states, (0, 1, 0, 1), mode="constant", value=0)
         return self.conv(hidden_states)
 
 

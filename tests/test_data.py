@@ -108,6 +108,24 @@ def test_blender_dataset(tmp_path):
     assert s["rot_id"] == 1  # "circle" suffix
 
 
+def test_blender_dataset_mask_initial(tmp_path):
+    root = _make_blender_fixture(str(tmp_path))
+    for v in range(2):
+        np.save(os.path.join(root, f"obj_{v}_circle", "bbox_2d.npy"),
+                np.asarray([[8, 12], [40, 60]]))
+        os.rename(os.path.join(root, f"obj_{v}_circle", "bbox_2d.npy"),
+                  os.path.join(root, f"obj_{v}_circle", "bbox_2d.py"))
+    ds = TrajectoryBlenderDataset(root, sample_size=(32, 64), frame_length=4, seed=0,
+                                  mask_initial=True)
+    s = ds[0]
+    m = s["initial_mask"]
+    assert m.shape == (32, 64, 3)
+    # Outside the bbox everything is masked to 0 -> normalized to -1; inside
+    # the (resized) bbox the trajectory pixels survive.
+    assert m.max() > -1.0
+    assert np.allclose(m[0, :, :], -1.0) and np.allclose(m[-1, :, :], -1.0)
+
+
 def _make_vipseg_fixture(root, n_frames=6):
     from PIL import Image
 
