@@ -91,27 +91,44 @@ def init_feed_forward(key: jax.Array, dim: int, dim_out: Optional[int] = None, m
     }
 
 
-def feed_forward(params: dict, x: jax.Array, compute_dtype=None) -> jax.Array:
-    """GEGLU FF. On TPU at production shapes this dispatches to the fused
-    Pallas MLP kernel (ops/pallas_mlp.py), which keeps the gated intermediate
-    in VMEM instead of round-tripping ~1.3 GB through HBM per L0 call —
-    v5e-measured: L0 11.4->9.3 ms, L1 8.6->7.0 ms per FF. Gradients route
-    through the plain XLA formulation (custom_vjp), so training is exact."""
-    from posetraj_tpu.ops.pallas_mlp import fused_geglu_applicable, fused_geglu_mlp
+def feed_forward(params: dict, x: jax.Array, compute_dtype=None, norm: Optional[dict] = None) -> jax.Array:
+    """GEGLU FF, optionally with the preceding LayerNorm fused in (`norm` =
+    the LN params — every transformer block has a norm->ff adjacency).
+
+    On TPU at production shapes this dispatches to the fused Pallas MLP
+    kernel (ops/pallas_mlp.py): the gated intermediate stays in VMEM instead
+    of round-tripping HBM (in-graph v5e: L0 8.4->6.0 ms, L1 5.7->4.0, L2
+    4.5->3.5 per FF), and the fused LN removes the norm's separate
+    read+write+fp32-temp pass. Gradients route through the plain XLA
+    formulation (custom_vjp), so training is exact."""
+    from posetraj_tpu.ops.pallas_mlp import (
+        fused_geglu_applicable,
+        fused_geglu_mlp,
+        fused_ln_geglu_mlp,
+    )
 
     w1 = params["proj_in"]["kernel"]
     if fused_geglu_applicable(x, w1):
         dt = compute_dtype or x.dtype
         k = w1.shape[0]
         flat = x.reshape(-1, k).astype(dt)
-        out = fused_geglu_mlp(
-            flat,
+        args = (
             w1.astype(dt),
             params["proj_in"]["bias"].astype(dt),
             params["proj_out"]["kernel"].astype(dt),
             params["proj_out"]["bias"].astype(dt),
         )
+        import os
+
+        if norm is not None and os.environ.get("POSETRAJ_FUSED_FF_LN", "1") != "0":
+            out = fused_ln_geglu_mlp(flat, norm["scale"], norm["bias"], *args)
+        else:
+            if norm is not None:
+                flat = layer_norm(norm, flat).astype(dt)
+            out = fused_geglu_mlp(flat, *args)
         return out.reshape(*x.shape[:-1], out.shape[-1])
+    if norm is not None:
+        x = layer_norm(norm, x)
     return linear(params["proj_out"], geglu(params["proj_in"], x, compute_dtype), compute_dtype)
 
 
@@ -154,8 +171,7 @@ def basic_transformer_block(
         x = x + attention_module(
             params["attn2"], h, num_heads, context=context, backend=backend, compute_dtype=compute_dtype
         )
-    h = layer_norm(params["norm3"], x)
-    return x + feed_forward(params["ff"], h, compute_dtype)
+    return x + feed_forward(params["ff"], x, compute_dtype, norm=params["norm3"])
 
 
 # ---------------------------------------------------------------------------
@@ -230,8 +246,7 @@ def temporal_basic_transformer_block(
     x = x.reshape(b, num_frames, s, c)
 
     residual = x
-    h = layer_norm(params["norm_in"], x)
-    h = feed_forward(params["ff_in"], h, compute_dtype)
+    h = feed_forward(params["ff_in"], x, compute_dtype, norm=params["norm_in"])
     x = h + residual  # is_res (dim == time_mix_inner_dim in SVD)
 
     h = layer_norm(params["norm1"], x)
@@ -241,8 +256,7 @@ def temporal_basic_transformer_block(
         x = x + _frame_axis_attention(
             params["attn2"], h, num_heads, context=context, compute_dtype=compute_dtype
         )
-    h = layer_norm(params["norm3"], x)
-    x = x + feed_forward(params["ff"], h, compute_dtype)
+    x = x + feed_forward(params["ff"], x, compute_dtype, norm=params["norm3"])
 
     return x.reshape(bf, s, c)
 

@@ -104,8 +104,13 @@ def _flash_kernel_tq(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, 
     Layouts (pre-transposed OUTSIDE the kernel by XLA, where the transpose
     fuses into the surrounding reshape): q_ref (1, H, block_q);
     k_ref (1, S_pad, H) natural; v_ref (1, H, S_pad); o_ref (1, H, block_q).
+
+    Softmax runs in base 2 with log2(e) folded into the q scaling:
+    exp2((x*scale*log2e) - m2) == exp(x*scale - m) exactly (m2 tracked in the
+    scaled domain), and the VPU's exp lowers to exp2+multiply — pre-folding
+    deletes one multiply per logit from the kernel's dominant VPU cost.
     """
-    q_t = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # (H, bq)
+    q_t = (q_ref[0].astype(jnp.float32) * (scale * 1.4426950408889634)).astype(q_ref.dtype)
     head_dim, block_q = q_t.shape
     s_pad = k_ref.shape[1]
     num_kb = s_pad // block_k
@@ -119,7 +124,7 @@ def _flash_kernel_tq(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, 
             row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             s = jnp.where(row < s_len, s, NEG_INF)
         m = jnp.max(s, axis=0, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m)
         l = jnp.sum(p, axis=0, keepdims=True)
         acc = jax.lax.dot_general(
             v_ref[0], p.astype(v_ref.dtype), (((1,), (0,)), ((), ())),
@@ -129,6 +134,10 @@ def _flash_kernel_tq(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, 
         return
 
     def body(j, carry):
+        # NOTE: a software-pipelined variant (carrying s_{j+1} so the MXU
+        # computes the next block's logits under this block's softmax) was
+        # measured SLOWER on v5e (35.5 -> 58.0 ms at L0): the (bk, bq) fp32
+        # carry gets materialized every iteration, drowning any overlap win.
         m, l, acc = carry
         k_blk = k_ref[0, pl.ds(j * block_k, block_k), :]  # (bk, H)
         v_blk = v_ref[0, :, pl.ds(j * block_k, block_k)]  # (H, bk)
@@ -140,8 +149,8 @@ def _flash_kernel_tq(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, 
             s = jnp.where(row < s_len, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=0, keepdims=True))  # (1, bq)
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
+        alpha = jnp.exp2(m - m_new)
+        p = jnp.exp2(s - m_new)
         l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
             v_blk, p.astype(v_blk.dtype), (((1,), (0,)), ((), ())),

@@ -115,17 +115,21 @@ def fused_group_norm(
 
 
 def fused_group_norm_applicable(x: jax.Array, num_groups: int) -> bool:
-    """Dispatch gate.
+    """Dispatch gate — ON by default on TPU (POSETRAJ_FUSED_GROUPNORM=0
+    disables).
 
-    Speed: measured on v5e at UNet level-0/1 shapes this two-kernel scheme
-    runs 3.55ms / 1.84ms vs XLA's 2.36ms / 1.64ms for groupnorm+silu — XLA's
-    own fusion already keeps the op at ~2 passes, so mid-sized shapes stay on
-    XLA (POSETRAJ_FUSED_GROUPNORM=1 forces the kernel for experiments).
+    Speed: in ISOLATION (default layouts) XLA's groupnorm fusion wins
+    (in-graph L0: 1.01 vs 1.71 ms). IN THE MODEL it loses badly: between
+    convs XLA lays activations out conv-preferred ({3,0,2,1} — batch in the
+    sublane dim) and the stat-reduce fusions cross that tiling at 3.5-11.9 ms
+    per L0 groupnorm (full-step device trace); forcing the Pallas kernels
+    (whose custom calls constrain operands to default layouts — one cheap
+    copy) cut the flagship denoise step by ~150 ms.
 
-    Memory: at VAE-decoder production shapes (e.g. (7, 576, 1024, 256) —
-    100M+ elements) XLA materializes the fp32-widened normalize chain as
-    multi-GB HLO temps and the 576x1024 decode OOMs 15.75G HBM. The Pallas
-    kernels touch only row blocks, so giant activations always dispatch here.
+    Memory: at VAE-decoder production shapes (e.g. (7, 576, 1024, 256))
+    XLA materializes the fp32-widened normalize chain as multi-GB HLO temps
+    and the 576x1024 decode OOMs 15.75G HBM; the Pallas kernels touch only
+    row blocks, so giant activations must dispatch here regardless.
     """
     import os
 
@@ -136,9 +140,78 @@ def fused_group_norm_applicable(x: jax.Array, num_groups: int) -> bool:
         return False
     if math.prod(x.shape[1:-1]) < 64:
         return False
-    if os.environ.get("POSETRAJ_FUSED_GROUPNORM") == "1":
-        return True
-    # 2^28 elements ~ the VAE decoder's two largest stages at 576x1024
-    # ((7,576,1024,256) and (7,288,512,512)); every UNet shape (<=248M at the
-    # L0 up-block concat) stays on XLA, which is faster there.
-    return math.prod(x.shape) >= (1 << 28)
+    if os.environ.get("POSETRAJ_FUSED_GROUPNORM") == "0":
+        # Giant activations (VAE decode at production res) dispatch anyway:
+        # the XLA path cannot fit in HBM there.
+        return math.prod(x.shape) >= (1 << 28)
+    return True
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm (row-wise): single-pass kernel
+# ---------------------------------------------------------------------------
+
+
+def _ln_kernel(x_ref, s_ref, b_ref, o_ref, *, eps: float):
+    x = x_ref[...].astype(jnp.float32)  # (bm, C) — full rows per block
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * s_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_layer_norm(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jax.Array:
+    """(..., C) LayerNorm in ONE read+write pass: rows are complete inside
+    each (bm, C) block, so stats, normalize, and affine all happen in VMEM.
+    XLA's lowering runs separate fp32 stat-reduction + normalize fusions
+    (convert_reduce chains = ~3 passes with fp32-widened temps); per the
+    full-step device trace those chains are ~260 ms of the denoise step."""
+    orig_shape = x.shape
+    c = x.shape[-1]
+    xf = x.reshape(-1, c)
+    m = xf.shape[0]
+    bm = max(8, min(1024, ((1 << 18) // c) & ~7))  # sublane dim: multiple of 8
+    m_pad = -(-m // bm) * bm
+    if m_pad != m:
+        xf = jnp.pad(xf, ((0, m_pad - m), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_ln_kernel, eps=eps),
+        grid=(m_pad // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda i: (i, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, c), x.dtype),
+        interpret=interpret,
+    )(xf, scale.reshape(1, c), bias.reshape(1, c))
+    return out[:m].reshape(orig_shape)
+
+
+def fused_layer_norm_applicable(x: jax.Array) -> bool:
+    """Dispatch gate — OFF by default: in-graph on v5e the single-pass kernel
+    ran 1.96 ms vs XLA's 0.97 ms at the L0 shape (28,9216,320) — XLA's LN
+    fusion chain is already ~2 bandwidth-bound passes and the kernel loses
+    lanes to the C=320 padding. Kept (with parity tests) for experiments via
+    POSETRAJ_FUSED_LN=1; the LN fusion that DOES pay is folding LN into the
+    consumer matmul (see pallas_mlp.fused_ln_geglu_mlp)."""
+    import os
+
+    if os.environ.get("POSETRAJ_FUSED_LN") != "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    c = x.shape[-1]
+    m = math.prod(x.shape[:-1])
+    # Lane dim need not be a 128 multiple (Mosaic masks the padded lanes in
+    # the row reductions — verified vs XLA on-device at C=320).
+    return c % 8 == 0 and c <= 2048 and m >= 4096

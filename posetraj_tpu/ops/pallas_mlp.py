@@ -42,8 +42,13 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _mlp_kernel(x_ref, w1a_ref, w1g_ref, b1a_ref, b1g_ref, w2_ref, b2_ref, o_ref, acc_ref,
-                *, n_blocks: int):
+def _mlp_kernel(*refs, n_blocks: int, ln_eps: float = 0.0, with_ln: bool = False):
+    if with_ln:
+        (x_ref, w1a_ref, w1g_ref, b1a_ref, b1g_ref, w2_ref, b2_ref,
+         ln_s_ref, ln_b_ref, o_ref, acc_ref) = refs
+    else:
+        x_ref, w1a_ref, w1g_ref, b1a_ref, b1g_ref, w2_ref, b2_ref, o_ref, acc_ref = refs
+        ln_s_ref = ln_b_ref = None
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -51,6 +56,19 @@ def _mlp_kernel(x_ref, w1a_ref, w1g_ref, b1a_ref, b1g_ref, w2_ref, b2_ref, o_ref
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     x = x_ref[...]
+    if ln_s_ref is not None:
+        # LayerNorm prologue: K is never blocked, so each (bm, K) x-block
+        # holds complete rows — row stats come free in VMEM, and the whole
+        # separate LN pass over HBM (read + write + fp32 temps) disappears.
+        # Matches ops/primitives.layer_norm numerics: fp32 stats and apply,
+        # cast back to the compute dtype before the matmuls. Recomputed per
+        # n-block program (n_blocks small; LN is O(K) vs matmul O(K*bn)).
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        xn = (xf - mean) * jax.lax.rsqrt(var + ln_eps)
+        xn = xn * ln_s_ref[...].astype(jnp.float32) + ln_b_ref[...].astype(jnp.float32)
+        x = xn.astype(x.dtype)
     a = jax.lax.dot_general(
         x, w1a_ref[...], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) + b1a_ref[...].astype(jnp.float32)
@@ -73,17 +91,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
-def _fused_impl(x, w1, b1, w2, b2, block_m: int = 0, block_n: int = 0, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "interpret", "ln_eps"))
+def _fused_impl(x, w1, b1, w2, b2, ln_s=None, ln_b=None, ln_eps: float = 1e-5,
+                block_m: int = 0, block_n: int = 0, interpret: bool = False):
     m, k = x.shape
     n2 = w1.shape[1]
     n = n2 // 2
     k_out = w2.shape[1]
 
     if block_m == 0:
-        # v5e sweep: bm=1024 wins for narrow models; wide models (K=1280)
-        # exceed scoped VMEM at larger row blocks (fp32 acc + weight blocks).
-        block_m = 1024 if k <= 640 else 512
+        # In-graph fori_loop sweep on v5e (dispatch-overhead-free): narrow
+        # models peak at bm=1024 (L0 106 TF/s, L1 159); the wide L2 model
+        # (K=1280) exceeds scoped VMEM at bm>=512 when embedded in the full
+        # generate() program, and bm=256 still beats XLA 3.69 vs 4.46 ms.
+        block_m = 1024 if k <= 640 else 256
     if block_n == 0:
         # Keep w1a/w1g/w2 blocks + fp32 intermediates comfortably inside VMEM:
         # wide models (L2: K=1280, N=5120) take 512-column blocks, narrow ones
@@ -102,24 +123,33 @@ def _fused_impl(x, w1, b1, w2, b2, block_m: int = 0, block_n: int = 0, interpret
 
     n_blocks = n // block_n
     grid = (m_pad // block_m, n_blocks)
+    in_specs = [
+        pl.BlockSpec((block_m, k), lambda i, j: (i, 0)),
+        pl.BlockSpec((k, block_n), lambda i, j: (0, j)),
+        pl.BlockSpec((k, block_n), lambda i, j: (0, j)),
+        pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+        pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
+        pl.BlockSpec((block_n, k_out), lambda i, j: (j, 0)),
+        pl.BlockSpec((1, k_out), lambda i, j: (0, 0)),
+    ]
+    inputs = [x, w1a, w1g, b1a, b1g, w2, b2r]
+    with_ln = ln_s is not None
+    if with_ln:
+        in_specs += [
+            pl.BlockSpec((1, k), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, k), lambda i, j: (0, 0)),
+        ]
+        inputs += [ln_s.reshape(1, k), ln_b.reshape(1, k)]
     out = pl.pallas_call(
-        functools.partial(_mlp_kernel, n_blocks=n_blocks),
+        functools.partial(_mlp_kernel, n_blocks=n_blocks, ln_eps=ln_eps, with_ln=with_ln),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_m, k), lambda i, j: (i, 0)),
-            pl.BlockSpec((k, block_n), lambda i, j: (0, j)),
-            pl.BlockSpec((k, block_n), lambda i, j: (0, j)),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, j)),
-            pl.BlockSpec((block_n, k_out), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, k_out), lambda i, j: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_m, k_out), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((m_pad, k_out), x.dtype),
         scratch_shapes=[pltpu.VMEM((block_m, k_out), jnp.float32)],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(x, w1a, w1g, b1a, b1g, w2, b2r)
+    )(*inputs)
     return out[:m]
 
 
@@ -128,6 +158,36 @@ def _ref_geglu_mlp(x, w1, b1, w2, b2):
     a, g = jnp.split(h, 2, axis=-1)
     u = a * jax.nn.gelu(g, approximate=False)
     return jnp.dot(u, w2, preferred_element_type=x.dtype) + b2.astype(x.dtype)
+
+
+def _ref_ln_geglu_mlp(x, ln_s, ln_b, w1, b1, w2, b2, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = xf.var(axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn * ln_s.astype(jnp.float32) + ln_b.astype(jnp.float32)
+    return _ref_geglu_mlp(xn.astype(x.dtype), w1, b1, w2, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_ln_geglu_mlp(x, ln_s, ln_b, w1, b1, w2, b2, eps=1e-5):
+    """LayerNorm + GEGLU MLP in one kernel pass (norm3->ff / norm_in->ff_in
+    adjacency in every transformer block): out = geglu_mlp(layer_norm(x)).
+    Gradients route through the plain XLA formulation (custom_vjp)."""
+    return _fused_impl(x, w1, b1, w2, b2, ln_s=ln_s, ln_b=ln_b, ln_eps=eps)
+
+
+def _ln_fwd(x, ln_s, ln_b, w1, b1, w2, b2, eps):
+    return _fused_impl(x, w1, b1, w2, b2, ln_s=ln_s, ln_b=ln_b, ln_eps=eps), (
+        x, ln_s, ln_b, w1, b1, w2, b2)
+
+
+def _ln_bwd(eps, res, ct):
+    _, vjp = jax.vjp(lambda *a: _ref_ln_geglu_mlp(*a, eps=eps), *res)
+    return vjp(ct)
+
+
+fused_ln_geglu_mlp.defvjp(_ln_fwd, _ln_bwd)
 
 
 @jax.custom_vjp
@@ -166,7 +226,11 @@ def fused_geglu_applicable(x, w1) -> bool:
     k, n2 = w1.shape
     n = n2 // 2
     # K is not blocked (full rows per program; Mosaic pads the 320-lane case
-    # itself); N blocks must tile the lane dim. Wide models (K=1280, L2) stay
-    # on XLA: the fused win there is ~2% standalone and the kernel exceeds
-    # scoped VMEM when embedded in the full generate() program.
-    return m >= 4096 and k <= 640 and n % 128 == 0 and (n % 512 == 0 or n <= 2048)
+    # itself); N blocks must tile the lane dim. In-graph sweep: fused beats
+    # XLA at every SVD level incl. the wide L2 (K=1280: 3.69 vs 4.46 ms at
+    # bm=256 — the earlier "~2% win" was per-dispatch overhead polluting the
+    # measurement); L2 runs bm=256 to stay inside scoped VMEM in the full
+    # generate() program.
+    if k > 640 and os.environ.get("POSETRAJ_FUSED_FF_WIDE", "1") == "0":
+        return False
+    return m >= 4096 and k <= 1280 and n % 128 == 0 and (n % 512 == 0 or n <= 2048)

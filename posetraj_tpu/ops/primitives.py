@@ -80,6 +80,10 @@ def group_norm(params: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e
     spatial dims + the within-group channel dim, matching torch GroupNorm on
     (N, C, *spatial).
     """
+    from posetraj_tpu.ops.pallas_groupnorm import fused_group_norm, fused_group_norm_applicable
+
+    if fused_group_norm_applicable(x, num_groups):
+        return fused_group_norm(x, params["scale"], params["bias"], num_groups, eps, act=False)
     orig_dtype = x.dtype
     n = x.shape[0]
     c = x.shape[-1]
@@ -119,7 +123,17 @@ def group_norm_silu(
 
 
 def layer_norm(params: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
-    """LayerNorm over the last dim, stats in fp32."""
+    """LayerNorm over the last dim, stats in fp32. Large TPU activations
+    dispatch to the single-pass Pallas kernel (ops/pallas_groupnorm.py:
+    fused_layer_norm) — one read+write instead of XLA's fp32-widened
+    stat+normalize fusion chains."""
+    from posetraj_tpu.ops.pallas_groupnorm import (
+        fused_layer_norm,
+        fused_layer_norm_applicable,
+    )
+
+    if fused_layer_norm_applicable(x):
+        return fused_layer_norm(x, params["scale"], params["bias"], eps)
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     mean = xf.mean(axis=-1, keepdims=True)

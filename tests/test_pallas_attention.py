@@ -80,3 +80,20 @@ def test_flash_tq_matches_xla(s, h, n):
     ref = _xla_attention(q, k, v, scale)
     out = flash_attention_tq(q, k, v, scale, block_q=256, block_k=256, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_fused_layer_norm_matches_xla():
+    import numpy as np
+
+    from posetraj_tpu.ops.pallas_groupnorm import fused_layer_norm
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(3, 70, 320) * 2 + 1, jnp.float32)  # non-128 lane, padded rows
+    scale = jnp.asarray(1.0 + 0.1 * rng.randn(320), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.randn(320), jnp.float32)
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    ref = (xf - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+    got = fused_layer_norm(x, scale, bias, 1e-5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)

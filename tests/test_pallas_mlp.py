@@ -26,6 +26,55 @@ def test_fused_geglu_matches_reference(m, k, n, bm, bn):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4)
 
 
+def test_fused_ln_geglu_matches_reference():
+    from posetraj_tpu.ops.pallas_mlp import _fused_impl, _ref_ln_geglu_mlp
+
+    rng = np.random.RandomState(1)
+    m, k, n = 260, 256, 512
+    x = jnp.asarray(rng.randn(m, k) * 2.0 + 0.5, jnp.float32)
+    ln_s = jnp.asarray(1.0 + 0.1 * rng.randn(k), jnp.float32)
+    ln_b = jnp.asarray(0.1 * rng.randn(k), jnp.float32)
+    w1 = jnp.asarray(rng.randn(k, 2 * n) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.randn(2 * n) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.randn(n, k) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.randn(k) * 0.1, jnp.float32)
+    ref = _ref_ln_geglu_mlp(x, ln_s, ln_b, w1, b1, w2, b2)
+    out = _fused_impl(x, w1, b1, w2, b2, ln_s=ln_s, ln_b=ln_b,
+                      block_m=128, block_n=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4)
+
+
+def test_fused_ln_geglu_grad_matches_reference():
+    from posetraj_tpu.ops.pallas_mlp import _ref_ln_geglu_mlp, fused_ln_geglu_mlp
+
+    rng = np.random.RandomState(2)
+    m, k, n = 64, 128, 256  # interpret-mode grad check on CPU
+    import os
+
+    if jax.default_backend() != "tpu":
+        # custom_vjp backward goes through the XLA reference; check end-to-end
+        # grads agree with differentiating the reference directly.
+        x = jnp.asarray(rng.randn(m, k), jnp.float32)
+        ln_s = jnp.asarray(1.0 + 0.1 * rng.randn(k), jnp.float32)
+        ln_b = jnp.asarray(0.1 * rng.randn(k), jnp.float32)
+        w1 = jnp.asarray(rng.randn(k, 2 * n) * 0.05, jnp.float32)
+        b1 = jnp.asarray(rng.randn(2 * n) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.randn(n, k) * 0.05, jnp.float32)
+        b2 = jnp.asarray(rng.randn(k) * 0.1, jnp.float32)
+        g_ref = jax.grad(lambda *a: jnp.sum(jnp.tanh(_ref_ln_geglu_mlp(*a))), argnums=(0, 1, 3))(
+            x, ln_s, ln_b, w1, b1, w2, b2)
+        # the fused forward isn't runnable off-TPU without interpret; check
+        # the registered vjp math by calling the bwd rule directly.
+        from posetraj_tpu.ops.pallas_mlp import _ln_bwd
+
+        y = _ref_ln_geglu_mlp(x, ln_s, ln_b, w1, b1, w2, b2)
+        ct = 1.0 - jnp.tanh(y) ** 2
+        grads = _ln_bwd(1e-5, (x, ln_s, ln_b, w1, b1, w2, b2), ct)
+        np.testing.assert_allclose(np.asarray(grads[0]), np.asarray(g_ref[0]), atol=1e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(grads[1]), np.asarray(g_ref[1]), atol=1e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(grads[3]), np.asarray(g_ref[2]), atol=1e-4, rtol=1e-3)
+
+
 def test_erf_approximation_accuracy():
     from posetraj_tpu.ops.pallas_mlp import _erf
 
