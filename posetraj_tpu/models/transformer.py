@@ -104,9 +104,11 @@ def init_feed_forward(key: jax.Array, dim: int, dim_out: Optional[int] = None, m
     }
 
 
-def feed_forward(params: dict, x: jax.Array, compute_dtype=None, norm: Optional[dict] = None) -> jax.Array:
+def feed_forward(params: dict, x: jax.Array, compute_dtype=None, norm: Optional[dict] = None,
+                 residual: bool = False) -> jax.Array:
     """GEGLU FF, optionally with the preceding LayerNorm fused in (`norm` =
-    the LN params — every transformer block has a norm->ff adjacency).
+    the LN params) and the pre-norm residual add fused on (`residual=True`
+    returns x + ff(ln(x))) — the block's full FF sub-layer in one kernel.
 
     On TPU at production shapes this dispatches to the fused Pallas MLP
     kernel (ops/pallas_mlp.py): the gated intermediate stays in VMEM instead
@@ -118,6 +120,7 @@ def feed_forward(params: dict, x: jax.Array, compute_dtype=None, norm: Optional[
         fused_geglu_applicable,
         fused_geglu_mlp,
         fused_ln_geglu_mlp,
+        fused_ln_geglu_mlp_res,
     )
 
     w1 = params["proj_in"]["kernel"]
@@ -134,15 +137,22 @@ def feed_forward(params: dict, x: jax.Array, compute_dtype=None, norm: Optional[
         import os
 
         if norm is not None and os.environ.get("POSETRAJ_FUSED_FF_LN", "1") != "0":
+            if residual and x.shape[-1] == params["proj_out"]["kernel"].shape[1]:
+                out = fused_ln_geglu_mlp_res(flat, norm["scale"], norm["bias"], *args)
+                return out.reshape(*x.shape[:-1], out.shape[-1])
             out = fused_ln_geglu_mlp(flat, norm["scale"], norm["bias"], *args)
         else:
             if norm is not None:
                 flat = layer_norm(norm, flat).astype(dt)
             out = fused_geglu_mlp(flat, *args)
-        return out.reshape(*x.shape[:-1], out.shape[-1])
+        out = out.reshape(*x.shape[:-1], out.shape[-1])
+        return x + out if residual else out
     if norm is not None:
-        x = layer_norm(norm, x)
-    return linear(params["proj_out"], geglu(params["proj_in"], x, compute_dtype), compute_dtype)
+        h = layer_norm(norm, x)
+    else:
+        h = x
+    out = linear(params["proj_out"], geglu(params["proj_in"], h, compute_dtype), compute_dtype)
+    return x + out if residual else out
 
 
 # ---------------------------------------------------------------------------
@@ -184,7 +194,7 @@ def basic_transformer_block(
         x = x + attention_module(
             params["attn2"], h, num_heads, context=context, backend=backend, compute_dtype=compute_dtype
         )
-    return x + feed_forward(params["ff"], x, compute_dtype, norm=params["norm3"])
+    return feed_forward(params["ff"], x, compute_dtype, norm=params["norm3"], residual=True)
 
 
 # ---------------------------------------------------------------------------
@@ -273,9 +283,8 @@ def temporal_basic_transformer_block(
     b = bf // num_frames
     x = x.reshape(b, num_frames, s, c)
 
-    residual = x
-    h = feed_forward(params["ff_in"], x, compute_dtype, norm=params["norm_in"])
-    x = h + residual  # is_res (dim == time_mix_inner_dim in SVD)
+    # is_res (dim == time_mix_inner_dim in SVD): residual fused into the FF
+    x = feed_forward(params["ff_in"], x, compute_dtype, norm=params["norm_in"], residual=True)
 
     h = layer_norm(params["norm1"], x)
     x = x + _frame_axis_attention(params["attn1"], h, num_heads, compute_dtype=compute_dtype)
@@ -284,7 +293,7 @@ def temporal_basic_transformer_block(
         x = x + _frame_axis_attention(
             params["attn2"], h, num_heads, context=context, compute_dtype=compute_dtype
         )
-    x = x + feed_forward(params["ff"], x, compute_dtype, norm=params["norm3"])
+    x = feed_forward(params["ff"], x, compute_dtype, norm=params["norm3"], residual=True)
 
     return x.reshape(bf, s, c)
 

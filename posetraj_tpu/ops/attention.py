@@ -68,14 +68,17 @@ def attention(
         # vs the natural layout: S=9216 61->79 TF/s, S=2304 26->32 TF/s.
         from posetraj_tpu.ops.pallas_attention import flash_attention_tq
 
-        # Block sizes from the scripts/bench_attention.py sweep on v5e: long
-        # sequences favor (1024, 1024) (fits VMEM in this layout; the natural
-        # one does not), mid-range (512, 512); short sequences clamp to a
-        # single K block.
+        # Block sizes from in-graph (fori_loop-delta) sweeps on v5e: long
+        # sequences favor (1024, 1024); mid-range sequences run the WHOLE
+        # K extent as one block (exact softmax fast path, no online-rescale
+        # VPU work) with the q block sized so the fp32 logits fit scoped
+        # VMEM — S=2304: (1152, 2304) measured 4.18 ms vs 7.48 for
+        # (512, 512). Short sequences clamp to a single block either way.
         if sq >= 4096:
             bq, bk = 1024, 1024
         elif sq >= 1024:
-            bq, bk = 512, 512
+            bk = -(-sq // 128) * 128  # single K block over the padded seq
+            bq = max(128, min(1280, (11_000_000 // (4 * bk)) & ~127))
         else:
             bq, bk = 1024, 1024  # both clamp to the padded sequence => 1 block
         out = flash_attention_tq(qh, kh, vh, scale=scale, block_q=bq, block_k=bk)

@@ -42,7 +42,8 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _mlp_kernel(*refs, n_blocks: int, ln_eps: float = 0.0, with_ln: bool = False):
+def _mlp_kernel(*refs, n_blocks: int, ln_eps: float = 0.0, with_ln: bool = False,
+                with_res: bool = False):
     if with_ln:
         (x_ref, w1a_ref, w1g_ref, b1a_ref, b1g_ref, w2_ref, b2_ref,
          ln_s_ref, ln_b_ref, o_ref, acc_ref) = refs
@@ -84,16 +85,23 @@ def _mlp_kernel(*refs, n_blocks: int, ln_eps: float = 0.0, with_ln: bool = False
 
     @pl.when(j == n_blocks - 1)
     def _fin():
-        o_ref[...] = (acc_ref[...] + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+        out = acc_ref[...] + b2_ref[...].astype(jnp.float32)
+        if with_res:
+            # Transformer blocks always compute x + ff(ln(x)): the residual
+            # IS the kernel's raw input block, already in VMEM — fusing the
+            # add deletes a whole read+read+write elementwise pass per FF.
+            out = out + x_ref[...].astype(jnp.float32)
+        o_ref[...] = out.astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "interpret", "ln_eps"))
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "interpret", "ln_eps", "residual"))
 def _fused_impl(x, w1, b1, w2, b2, ln_s=None, ln_b=None, ln_eps: float = 1e-5,
-                block_m: int = 0, block_n: int = 0, interpret: bool = False):
+                block_m: int = 0, block_n: int = 0, interpret: bool = False,
+                residual: bool = False):
     m, k = x.shape
     n2 = w1.shape[1]
     n = n2 // 2
@@ -101,10 +109,16 @@ def _fused_impl(x, w1, b1, w2, b2, ln_s=None, ln_b=None, ln_eps: float = 1e-5,
 
     if block_m == 0:
         # In-graph fori_loop sweep on v5e (dispatch-overhead-free): narrow
-        # models peak at bm=1024 (L0 106 TF/s, L1 159); the wide L2 model
-        # (K=1280) exceeds scoped VMEM at bm>=512 when embedded in the full
-        # generate() program, and bm=256 still beats XLA 3.69 vs 4.46 ms.
-        block_m = 1024 if k <= 640 else 256
+        # models peak at bm=1024 (L0 106 TF/s; L1 drops to 768 — the LN
+        # prologue's fp32 row temps push bm=1024 past scoped VMEM at K=640);
+        # the wide L2 model (K=1280) exceeds scoped VMEM at bm>=512 inside
+        # the full generate() program, and bm=256 still beats XLA.
+        if k <= 384:
+            block_m = 1024
+        elif k <= 640:
+            block_m = 768
+        else:
+            block_m = 256
     if block_n == 0:
         # Keep w1a/w1g/w2 blocks + fp32 intermediates comfortably inside VMEM:
         # wide models (L2: K=1280, N=5120) take 512-column blocks, narrow ones
@@ -140,8 +154,11 @@ def _fused_impl(x, w1, b1, w2, b2, ln_s=None, ln_b=None, ln_eps: float = 1e-5,
             pl.BlockSpec((1, k), lambda i, j: (0, 0)),
         ]
         inputs += [ln_s.reshape(1, k), ln_b.reshape(1, k)]
+    if residual:
+        assert k_out == k, (k_out, k)
     out = pl.pallas_call(
-        functools.partial(_mlp_kernel, n_blocks=n_blocks, ln_eps=ln_eps, with_ln=with_ln),
+        functools.partial(_mlp_kernel, n_blocks=n_blocks, ln_eps=ln_eps, with_ln=with_ln,
+                          with_res=residual),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((block_m, k_out), lambda i, j: (i, 0)),
@@ -188,6 +205,32 @@ def _ln_bwd(eps, res, ct):
 
 
 fused_ln_geglu_mlp.defvjp(_ln_fwd, _ln_bwd)
+
+
+def _ref_ln_geglu_mlp_res(x, ln_s, ln_b, w1, b1, w2, b2, eps=1e-5):
+    return x + _ref_ln_geglu_mlp(x, ln_s, ln_b, w1, b1, w2, b2, eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_ln_geglu_mlp_res(x, ln_s, ln_b, w1, b1, w2, b2, eps=1e-5):
+    """out = x + geglu_mlp(layer_norm(x)) — the full pre-norm FF sub-layer in
+    one kernel pass (LN prologue + residual epilogue both free in VMEM)."""
+    return _fused_impl(x, w1, b1, w2, b2, ln_s=ln_s, ln_b=ln_b, ln_eps=eps, residual=True)
+
+
+def _ln_res_fwd(x, ln_s, ln_b, w1, b1, w2, b2, eps):
+    return (
+        _fused_impl(x, w1, b1, w2, b2, ln_s=ln_s, ln_b=ln_b, ln_eps=eps, residual=True),
+        (x, ln_s, ln_b, w1, b1, w2, b2),
+    )
+
+
+def _ln_res_bwd(eps, res, ct):
+    _, vjp = jax.vjp(lambda *a: _ref_ln_geglu_mlp_res(*a, eps=eps), *res)
+    return vjp(ct)
+
+
+fused_ln_geglu_mlp_res.defvjp(_ln_res_fwd, _ln_res_bwd)
 
 
 @jax.custom_vjp

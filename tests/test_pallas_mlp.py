@@ -75,6 +75,24 @@ def test_fused_ln_geglu_grad_matches_reference():
         np.testing.assert_allclose(np.asarray(grads[3]), np.asarray(g_ref[2]), atol=1e-4, rtol=1e-3)
 
 
+def test_fused_ln_geglu_residual_matches_reference():
+    from posetraj_tpu.ops.pallas_mlp import _fused_impl, _ref_ln_geglu_mlp_res
+
+    rng = np.random.RandomState(3)
+    m, k, n = 200, 256, 512
+    x = jnp.asarray(rng.randn(m, k), jnp.float32)
+    ln_s = jnp.asarray(1.0 + 0.1 * rng.randn(k), jnp.float32)
+    ln_b = jnp.asarray(0.1 * rng.randn(k), jnp.float32)
+    w1 = jnp.asarray(rng.randn(k, 2 * n) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.randn(2 * n) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.randn(n, k) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.randn(k) * 0.1, jnp.float32)
+    ref = _ref_ln_geglu_mlp_res(x, ln_s, ln_b, w1, b1, w2, b2)
+    out = _fused_impl(x, w1, b1, w2, b2, ln_s=ln_s, ln_b=ln_b,
+                      block_m=128, block_n=256, interpret=True, residual=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-4)
+
+
 def test_erf_approximation_accuracy():
     from posetraj_tpu.ops.pallas_mlp import _erf
 
