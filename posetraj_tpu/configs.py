@@ -314,6 +314,9 @@ class TrainConfig:
     adam_beta2: float = 0.999
     adam_weight_decay: float = 1e-2
     adam_epsilon: float = 1e-8
+    # bf16 first moment (stands in for the reference's --use_8bit_adam
+    # memory lever); fp32 by default for torch-AdamW fidelity.
+    adam_mu_bf16: bool = False
     max_grad_norm: float = 1.0
     gradient_accumulation_steps: int = 2
     per_device_batch_size: int = 1

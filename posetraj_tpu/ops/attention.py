@@ -66,7 +66,9 @@ def attention(
         # Transposed-accumulator kernel: at head_dim 64 the PV matmul runs at
         # full MXU width (see pallas_attention._flash_kernel_tq). v5e-measured
         # vs the natural layout: S=9216 61->79 TF/s, S=2304 26->32 TF/s.
-        from posetraj_tpu.ops.pallas_attention import flash_attention_tq
+        # flash_attention_diff wraps it with a blockwise Pallas backward
+        # (custom_vjp), so the same dispatch serves training.
+        from posetraj_tpu.ops.pallas_attention import flash_attention_diff
 
         # Block sizes from in-graph (fori_loop-delta) sweeps on v5e: long
         # sequences favor (1024, 1024); mid-range sequences run the WHOLE
@@ -81,7 +83,7 @@ def attention(
             bq = max(128, min(1280, (11_000_000 // (4 * bk)) & ~127))
         else:
             bq, bk = 1024, 1024  # both clamp to the padded sequence => 1 block
-        out = flash_attention_tq(qh, kh, vh, scale=scale, block_q=bq, block_k=bk)
+        out = flash_attention_diff(qh, kh, vh, scale, bq, bk)
     else:
         out = _xla_attention(qh, kh, vh, scale)
     return out.reshape(b, sq, d)

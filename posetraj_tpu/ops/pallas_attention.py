@@ -271,3 +271,294 @@ def flash_attention(
 
     out = out[:, :s, :].reshape(b, n, s, h).transpose(0, 2, 1, 3)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Differentiable flash attention (custom_vjp with Pallas backward)
+# ---------------------------------------------------------------------------
+#
+# The trainable ControlNet's spatial attention sits on the gradient path, and
+# an XLA backward would materialize the (fold, S, S) fp32 logits (47 GB at
+# S=9216) just like the XLA forward. Standard flash backward instead: the
+# forward also emits the per-row log-sum-exp (base-2 domain, matching the
+# exp2 softmax), and the backward recomputes probabilities blockwise in two
+# kernels — dq over q-blocks, dk/dv over k-blocks.
+
+_LOG2E = 1.4426950408889634
+
+
+def _flash_kernel_tq_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                         block_k: int, s_len: int):
+    """Forward tq kernel that also writes lse (log2-sum-exp2 of the scaled
+    logits) per q row — the residual the flash backward needs."""
+    q_t = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
+    head_dim, block_q = q_t.shape
+    s_pad = k_ref.shape[1]
+    num_kb = s_pad // block_k
+    needs_mask = s_len != s_pad
+
+    def logits(j):
+        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            k_blk, q_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if needs_mask:
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + j * block_k
+            s = jnp.where(row < s_len, s, NEG_INF)
+        return s
+
+    if num_kb == 1:
+        s = logits(0)
+        m = jnp.max(s, axis=0, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=0, keepdims=True)
+        acc = jax.lax.dot_general(
+            v_ref[0], p.astype(v_ref.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m + jnp.log2(jnp.maximum(l, 1e-30)))[0]
+        return
+
+    def body(j, carry):
+        m, l, acc = carry
+        s = logits(j)
+        v_blk = v_ref[0, :, pl.ds(j * block_k, block_k)]
+        m_new = jnp.maximum(m, jnp.max(s, axis=0, keepdims=True))
+        alpha = jnp.exp2(m - m_new)
+        p = jnp.exp2(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            v_blk, p.astype(v_blk.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((1, block_q), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((1, block_q), jnp.float32)
+    acc0 = jnp.zeros((head_dim, block_q), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log2(jnp.maximum(l, 1e-30)))[0]
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                         *, scale: float, block_k: int, s_len: int):
+    """dq for one (fold, q-block): natural layouts (q/do (1,bq,H), k/v (1,S,H))."""
+    c = scale * _LOG2E
+    q = q_ref[0].astype(jnp.float32)          # (bq, H)
+    do = do_ref[0].astype(jnp.float32)        # (bq, H)
+    lse = lse_ref[0, 0].astype(jnp.float32)[:, None]    # (bq, 1)
+    delta = delta_ref[0, 0].astype(jnp.float32)[:, None]
+    s_pad = k_ref.shape[1]
+    num_kb = s_pad // block_k
+    needs_mask = s_len != s_pad
+
+    def body(j, dq):
+        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s2 = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * c                                  # (bq, bk), log2 domain
+        if needs_mask:
+            col = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1) + j * block_k
+            s2 = jnp.where(col < s_len, s2, NEG_INF)
+        p = jnp.exp2(s2 - lse)                 # (bq, bk)
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                      # (bq, bk)
+        ds = p * (dp - delta)                  # natural-log-domain grad of s_nat
+        return dq + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros_like(q))
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, *, scale: float, block_q: int, s_len: int):
+    """dk/dv for one (fold, k-block), looping over q blocks."""
+    c = scale * _LOG2E
+    k_blk = k_ref[0].astype(jnp.float32)       # (bk, H)
+    v_blk = v_ref[0].astype(jnp.float32)       # (bk, H)
+    s_pad = q_ref.shape[1]
+    num_qb = s_pad // block_q
+    needs_mask = s_len != s_pad
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)     # (bq, H)
+        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)].astype(jnp.float32)[:, None]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)].astype(jnp.float32)[:, None]
+        s2 = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * c                                  # (bq, bk)
+        if needs_mask:
+            # padded q ROWS must not contribute to dk/dv
+            row = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 0) + i * block_q
+            s2 = jnp.where(row < s_len, s2, NEG_INF)
+        p = jnp.exp2(s2 - lse)
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        dk_new = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )                                      # (bk, H)
+        dv_new = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk_new, dv_new
+
+    z = jnp.zeros_like(k_blk)
+    dk, dv = jax.lax.fori_loop(0, num_qb, body, (z, z))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def _flash_fwd_lse(q, k, v, scale, block_q=512, block_k=1024, interpret=False):
+    b, s, n, h = q.shape
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * n, s, h)
+
+    qf, kf, vf = fold(q), fold(k), fold(v)
+    block_q = min(block_q, _round_up(s, 128))
+    block_k = min(block_k, _round_up(s, 128))
+    sq_pad = _round_up(s, block_q)
+    sk_pad = _round_up(s, block_k)
+    if sq_pad != s:
+        qf = jnp.pad(qf, ((0, 0), (0, sq_pad - s), (0, 0)))
+    if sk_pad != s:
+        pad = ((0, 0), (0, sk_pad - s), (0, 0))
+        kf = jnp.pad(kf, pad)
+        vf = jnp.pad(vf, pad)
+    q_t = qf.transpose(0, 2, 1)
+    v_t = vf.transpose(0, 2, 1)
+    grid = (b * n, sq_pad // block_q)
+    kernel = functools.partial(_flash_kernel_tq_lse, scale=scale, block_k=block_k, s_len=s)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, h, block_q), lambda bi, qi: (bi, 0, qi)),
+            pl.BlockSpec((1, sk_pad, h), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, h, sk_pad), lambda bi, qi: (bi, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, block_q), lambda bi, qi: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, block_q), lambda bi, qi: (bi, 0, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * n, h, sq_pad), q.dtype),
+            jax.ShapeDtypeStruct((b * n, 1, sq_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_t, kf, v_t)
+    out = out.transpose(0, 2, 1)[:, :s, :].reshape(b, n, s, h).transpose(0, 2, 1, 3)
+    return out, lse[:, 0, :]  # lse folded+padded: (B*N, Sq_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def _flash_bwd(q, k, v, out, lse, do, scale, block_q=512, block_k=512, interpret=False):
+    b, s, n, h = q.shape
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * n, s, h)
+
+    qf, kf, vf, of, dof = fold(q), fold(k), fold(v), fold(out), fold(do)
+    delta = jnp.sum(of.astype(jnp.float32) * dof.astype(jnp.float32), axis=-1)  # (B*N, S)
+
+    block_q = min(block_q, _round_up(s, 128))
+    block_k = min(block_k, _round_up(s, 128))
+    sq_pad = _round_up(s, block_q)
+    sk_pad = _round_up(s, block_k)
+    s_both = max(sq_pad, sk_pad)
+    # One padded length for both axes: the dq kernel slices K in bk blocks
+    # and the dkv kernel slices Q in bq blocks, so each needs the other's
+    # grid to divide its padded extent.
+    s_both = _round_up(s_both, block_q)
+    s_both = _round_up(s_both, block_k)
+    padn = lambda x: jnp.pad(x, ((0, 0), (0, s_both - s), (0, 0))) if s_both != s else x
+    qf, kf, vf, dof = padn(qf), padn(kf), padn(vf), padn(dof)
+    # lse arrives padded to the FORWARD q grid, which may differ from the
+    # backward padding (dispatch may pick different blocks): slice to the true
+    # length first, then re-pad. Padded q rows are masked to -inf logits in
+    # the dkv kernel, so the pad values never matter.
+    lse = lse[:, :s]
+    if lse.shape[1] != s_both:
+        lse = jnp.pad(lse, ((0, 0), (0, s_both - lse.shape[1])))
+    if delta.shape[1] != s_both:
+        delta = jnp.pad(delta, ((0, 0), (0, s_both - delta.shape[1])))
+
+    lse3 = lse[:, None, :]
+    delta3 = delta[:, None, :]
+    grid_q = (b * n, s_both // block_q)
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, block_k=block_k, s_len=s),
+        grid=grid_q,
+        in_specs=[
+            pl.BlockSpec((1, block_q, h), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, s_both, h), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, s_both, h), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, block_q, h), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda bi, qi: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, block_q), lambda bi, qi: (bi, 0, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, h), lambda bi, qi: (bi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * n, s_both, h), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lse3, delta3)
+
+    grid_k = (b * n, s_both // block_k)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale, block_q=block_q, s_len=s),
+        grid=grid_k,
+        in_specs=[
+            pl.BlockSpec((1, s_both, h), lambda bi, ki: (bi, 0, 0)),
+            pl.BlockSpec((1, block_k, h), lambda bi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, block_k, h), lambda bi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, s_both, h), lambda bi, ki: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, s_both), lambda bi, ki: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, s_both), lambda bi, ki: (bi, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, h), lambda bi, ki: (bi, ki, 0)),
+            pl.BlockSpec((1, block_k, h), lambda bi, ki: (bi, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * n, s_both, h), q.dtype),
+            jax.ShapeDtypeStruct((b * n, s_both, h), q.dtype),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, dof, lse3, delta3)
+
+    unfold = lambda x: x[:, :s, :].reshape(b, n, s, h).transpose(0, 2, 1, 3)
+    return unfold(dq), unfold(dk), unfold(dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention_diff(q, k, v, scale, block_q=512, block_k=1024):
+    """Differentiable flash attention: tq forward, blockwise Pallas backward.
+
+    Same contract as flash_attention_tq; use this wherever gradients may flow
+    (the attention dispatch routes through it on TPU)."""
+    return flash_attention_tq(q, k, v, scale=scale, block_q=block_q, block_k=block_k)
+
+
+def _fa_fwd(q, k, v, scale, block_q, block_k):
+    out, lse = _flash_fwd_lse(q, k, v, scale, block_q=block_q, block_k=block_k)
+    return out, (q, k, v, out, lse)
+
+
+def _fa_bwd(scale, block_q, block_k, res, do):
+    q, k, v, out, lse = res
+    # backward blocks: 512/512 keeps the recomputed (bq, bk) fp32 tiles and
+    # the three fp32 accumulators inside scoped VMEM at every SVD shape
+    return _flash_bwd(q, k, v, out, lse, do, scale, block_q=512, block_k=512)
+
+
+flash_attention_diff.defvjp(_fa_fwd, _fa_bwd)

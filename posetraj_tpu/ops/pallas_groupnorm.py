@@ -38,11 +38,16 @@ def _membership(c: int, num_groups: int):
     return (ch_ids // (c // num_groups) == g_ids).astype(jnp.float32)  # (C, G)
 
 
-def _stats_kernel(x_ref, o_ref, *, num_groups: int):
+def _stats_kernel(x_ref, o_ref, *, num_groups: int, rb: int, s_len: int):
     """x_ref: (1, RB, C); o_ref: (1, NB, 2G) revisited across the row-block
-    grid — program (i, j) fills row j with this block's [sum_g, sumsq_g]."""
+    grid — program (i, j) fills row j with this block's [sum_g, sumsq_g].
+    Rows past s_len (padding for non-divisible spatial sizes) are zeroed so
+    they cannot contribute to the statistics."""
     j = pl.program_id(1)
     x = x_ref[0].astype(jnp.float32)
+    if s_len % rb != 0:
+        row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + j * rb
+        x = jnp.where(row < s_len, x, 0.0)
     m = _membership(x.shape[-1], num_groups)
     s1 = jnp.sum(jnp.dot(x, m, preferred_element_type=jnp.float32), axis=0, keepdims=True)
     s2 = jnp.sum(jnp.dot(x * x, m, preferred_element_type=jnp.float32), axis=0, keepdims=True)
@@ -58,7 +63,7 @@ def _norm_kernel(x_ref, w_ref, b_ref, o_ref, *, act: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("num_groups", "eps", "act", "interpret"))
-def fused_group_norm(
+def _fused_group_norm_impl(
     x: jax.Array,
     scale: jax.Array,
     bias: jax.Array,
@@ -67,7 +72,6 @@ def fused_group_norm(
     act: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
-    """(N, ..., C) channels-last GroupNorm with optional fused SiLU."""
     n = x.shape[0]
     c = x.shape[-1]
     xf = x.reshape(n, -1, c)
@@ -75,12 +79,20 @@ def fused_group_norm(
     # Row blocks bounded in bytes, not rows: (rb, C) tiles must fit scoped
     # VMEM with double buffering + the fp32 normalize intermediate (~16M
     # limit), so wide-channel shapes take proportionally shorter blocks.
-    rb = _largest_divisor(s, max(8, (1 << 18) // c))
-    nb = s // rb
+    # rb must be a sublane multiple (8); non-divisible spatial sizes are row-
+    # padded and the padding masked out of the statistics in-kernel.
+    cap = max(8, ((1 << 18) // c) & ~7)
+    rb = _largest_divisor(s, cap)
+    if rb % 8 != 0:  # no sublane-aligned divisor: pad rows and mask stats
+        rb = min(cap, -(-s // 8) * 8)
+    s_pad = -(-s // rb) * rb
+    if s_pad != s:
+        xf = jnp.pad(xf, ((0, 0), (0, s_pad - s), (0, 0)))
+    nb = s_pad // rb
     cg = c // num_groups
 
     partials = pl.pallas_call(
-        functools.partial(_stats_kernel, num_groups=num_groups),
+        functools.partial(_stats_kernel, num_groups=num_groups, rb=rb, s_len=s),
         grid=(n, nb),
         in_specs=[pl.BlockSpec((1, rb, c), lambda i, j: (i, j, 0))],
         out_specs=pl.BlockSpec((1, nb, 2 * num_groups), lambda i, j: (i, 0, 0)),
@@ -111,7 +123,54 @@ def fused_group_norm(
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
         interpret=interpret,
     )(xf, w[:, None, :], b[:, None, :])
-    return out.reshape(x.shape)
+    return out[:, :s].reshape(x.shape)
+
+
+def _ref_group_norm(x, scale, bias, num_groups, eps, act):
+    """Plain-XLA groupnorm(+silu), used only for the custom_vjp backward
+    (mirrors ops/primitives.group_norm without the Pallas dispatch)."""
+    orig_dtype = x.dtype
+    n, c = x.shape[0], x.shape[-1]
+    xf = x.astype(jnp.float32).reshape(n, -1, num_groups, c // num_groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = xf.reshape(x.shape) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if act:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(orig_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_group_norm(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    act: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """(N, ..., C) channels-last GroupNorm with optional fused SiLU.
+
+    Forward runs the Pallas kernels; gradients route through the plain XLA
+    formulation (custom_vjp — Pallas kernels are not differentiable and the
+    trainable ControlNet's groupnorms sit on the grad path)."""
+    return _fused_group_norm_impl(x, scale, bias, num_groups, eps, act, interpret)
+
+
+def _gn_fwd(x, scale, bias, num_groups, eps, act, interpret):
+    return _fused_group_norm_impl(x, scale, bias, num_groups, eps, act, interpret), (
+        x, scale, bias)
+
+
+def _gn_bwd(num_groups, eps, act, interpret, res, ct):
+    x, scale, bias = res
+    _, vjp = jax.vjp(lambda *a: _ref_group_norm(*a, num_groups, eps, act), x, scale, bias)
+    return vjp(ct)
+
+
+fused_group_norm.defvjp(_gn_fwd, _gn_bwd)
 
 
 def fused_group_norm_applicable(x: jax.Array, num_groups: int) -> bool:

@@ -121,9 +121,17 @@ def _fused_impl(x, w1, b1, w2, b2, ln_s=None, ln_b=None, ln_eps: float = 1e-5,
             block_m = 256
     if block_n == 0:
         # Keep w1a/w1g/w2 blocks + fp32 intermediates comfortably inside VMEM:
-        # wide models (L2: K=1280, N=5120) take 512-column blocks, narrow ones
-        # a single block.
-        block_n = n if k <= 640 and n <= 2048 else 512
+        # wide models (L2: K=1280, N=5120) take 512-column blocks; the narrow
+        # L0 model splits its 1280 hidden into 2 blocks — the fp32 gate
+        # intermediates (bm, bn) are the scoped-VMEM driver, and the training
+        # graph (fp32 LN params + remat rewraps) sits right at the 16M limit
+        # with a single full-width block.
+        if k <= 384:
+            block_n = n if n <= 640 else (n // 2 if n % 1024 != 0 else 512)
+        elif k <= 640 and n <= 2048:
+            block_n = n
+        else:
+            block_n = 512
     block_n = min(block_n, n)
     assert n % block_n == 0, (n, block_n)
 

@@ -106,9 +106,24 @@ def edm_training_loss(
     k_vae, k_sigma, k_noise, k_drop, k_frame = jax.random.split(rng, 5)
 
     # Frozen VAE encode of all frames, stochastic sample, x scaling_factor.
+    # The encoder is per-frame 2D, so frames run under lax.map in chunks —
+    # encoding all B*F frames at once peaks ~4 GB of fp32 conv temps at the
+    # flagship 576x320 shape (the single-chip training HBM budget's largest
+    # transient); chunked, the peak is one chunk's worth.
     frames_flat = pixel_values.reshape(b * f, *pixel_values.shape[2:])
-    mean, logvar = vae_m.encode(frozen_params["vae"]["encoder"], bundle.vae, frames_flat,
-                                compute_dtype=jnp.float32)
+    chunk = 2 if (b * f) % 2 == 0 and b * f > 2 else b * f
+    if (b * f) % chunk == 0 and (b * f) // chunk > 1:
+        stacked = frames_flat.reshape(-1, chunk, *frames_flat.shape[1:])
+        mean, logvar = jax.lax.map(
+            lambda fr: vae_m.encode(frozen_params["vae"]["encoder"], bundle.vae, fr,
+                                    compute_dtype=jnp.float32),
+            stacked,
+        )
+        mean = mean.reshape(b * f, *mean.shape[2:])
+        logvar = logvar.reshape(b * f, *logvar.shape[2:])
+    else:
+        mean, logvar = vae_m.encode(frozen_params["vae"]["encoder"], bundle.vae, frames_flat,
+                                    compute_dtype=jnp.float32)
     lat = vae_m.sample_latent(mean, logvar, k_vae) * bundle.vae.scaling_factor
     latents = lat.reshape(b, f, *lat.shape[1:])  # (B,F,h,w,4) fp32
 
@@ -187,6 +202,35 @@ def edm_training_loss(
     return loss, metrics
 
 
+def _scale_by_adam_bf16(b1: float, b2: float, eps: float) -> optax.GradientTransformation:
+    """Adam scaling with BOTH moments stored bf16 (accumulated in fp32)."""
+
+    def init(params):
+        zeros = lambda t: jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.bfloat16), t)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=zeros(params), nu=zeros(params))
+
+    def update(updates, state, params=None):
+        f32 = jnp.float32
+        mu = jax.tree_util.tree_map(
+            lambda m, g: (b1 * m.astype(f32) + (1 - b1) * g.astype(f32)).astype(jnp.bfloat16),
+            state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: (b2 * v.astype(f32) + (1 - b2) * jnp.square(g.astype(f32))).astype(jnp.bfloat16),
+            state.nu, updates)
+        count = state.count + 1
+        c = count.astype(f32)
+        bc1 = 1.0 - b1 ** c
+        bc2 = 1.0 - b2 ** c
+        scaled = jax.tree_util.tree_map(
+            lambda m, v: (m.astype(f32) / bc1) / (jnp.sqrt(v.astype(f32) / bc2) + eps),
+            mu, nu)
+        return scaled, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
     """AdamW matching the reference flags (train...blender_14.py:1020-1026)
     with warmup + constant LR (:1059-1064) and grad accumulation."""
@@ -198,16 +242,31 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
         )
     else:
         raise NotImplementedError(tcfg.lr_scheduler)
-    tx = optax.chain(
-        optax.clip_by_global_norm(tcfg.max_grad_norm),
-        optax.adamw(
-            sched,
-            b1=tcfg.adam_beta1,
-            b2=tcfg.adam_beta2,
-            eps=tcfg.adam_epsilon,
-            weight_decay=tcfg.adam_weight_decay,
-        ),
-    )
+    if tcfg.adam_mu_bf16:
+        # bf16 moments: the memory escape hatch standing in for the
+        # reference's --use_8bit_adam (train...blender_14.py:991-999 —
+        # which quantizes BOTH moments to 8 bits; bf16 is strictly more
+        # precise). Saves 2.8 GB on the 0.7B-param ControlNet and is what
+        # fits flagship single-chip training in 16 GB HBM. Default off:
+        # fp32 moments for torch-AdamW fidelity.
+        adam = _scale_by_adam_bf16(tcfg.adam_beta1, tcfg.adam_beta2, tcfg.adam_epsilon)
+        tx = optax.chain(
+            optax.clip_by_global_norm(tcfg.max_grad_norm),
+            adam,
+            optax.add_decayed_weights(tcfg.adam_weight_decay),
+            optax.scale_by_learning_rate(sched),
+        )
+    else:
+        tx = optax.chain(
+            optax.clip_by_global_norm(tcfg.max_grad_norm),
+            optax.adamw(
+                sched,
+                b1=tcfg.adam_beta1,
+                b2=tcfg.adam_beta2,
+                eps=tcfg.adam_epsilon,
+                weight_decay=tcfg.adam_weight_decay,
+            ),
+        )
     if tcfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, tcfg.gradient_accumulation_steps)
     return tx
@@ -280,6 +339,12 @@ class Trainer:
         self.tcfg = tcfg
         self.mesh = mesh
         self.optimizer = make_optimizer(tcfg)
+        # The train step never touches the VAE decoder (only validation
+        # sampling does) — keep it out of the step's resident arguments
+        # (flagship single-chip HBM is counted in hundreds of MB).
+        if isinstance(frozen_params.get("vae"), dict) and "decoder" in frozen_params["vae"]:
+            frozen_params = dict(frozen_params)
+            frozen_params["vae"] = {"encoder": frozen_params["vae"]["encoder"]}
         self.frozen_params = frozen_params
         self.rng = jax.random.PRNGKey(tcfg.seed)
         self._step = make_train_step(bundle, tcfg, self.optimizer, compute_dtype=compute_dtype)

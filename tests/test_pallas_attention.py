@@ -97,3 +97,46 @@ def test_fused_layer_norm_matches_xla():
     ref = (xf - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
     got = fused_layer_norm(x, scale, bias, 1e-5, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_flash_fwd_lse_matches_plain_forward():
+    import numpy as np
+
+    from posetraj_tpu.ops.pallas_attention import _flash_fwd_lse, flash_attention_tq
+
+    rng = np.random.RandomState(7)
+    b, s, n, h = 2, 300, 2, 64  # ragged tail exercises both paddings
+    q = jnp.asarray(rng.randn(b, s, n, h), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, n, h), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, n, h), jnp.float32)
+    ref = flash_attention_tq(q, k, v, scale=0.125, block_q=128, block_k=128, interpret=True)
+    out, lse = _flash_fwd_lse(q, k, v, 0.125, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+    assert lse.shape == (b * n, 384)
+
+
+def test_flash_backward_matches_xla_grads():
+    import numpy as np
+
+    from posetraj_tpu.ops.attention import _xla_attention
+    from posetraj_tpu.ops.pallas_attention import _flash_bwd, _flash_fwd_lse
+
+    rng = np.random.RandomState(8)
+    b, s, n, h = 1, 260, 2, 64  # ragged: padded q rows + k cols masked in bwd
+    scale = h ** -0.5
+    q = jnp.asarray(rng.randn(b, s, n, h), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, n, h), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, n, h), jnp.float32)
+
+    def loss(q, k, v):
+        return jnp.sum(jnp.tanh(_xla_attention(q, k, v, scale)))
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    out, lse = _flash_fwd_lse(q, k, v, scale, block_q=128, block_k=128, interpret=True)
+    do = 1.0 - jnp.tanh(_xla_attention(q, k, v, scale)) ** 2
+    dq, dk, dv = _flash_bwd(q, k, v, out, lse, do, scale,
+                            block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(gq), atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(gk), atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(gv), atol=5e-5, rtol=1e-4)
