@@ -180,8 +180,17 @@ def hint_encoder(
         h5 = group_norm(params["temp"]["norm"], h5, eps=1e-6)
         h = h5.reshape(b, f, eh * ew, ec).transpose(0, 2, 1, 3).reshape(b * eh * ew, f, ec)
         h = linear(params["temp"]["proj_in"], h, compute_dtype)
-        for blk in params["temp"]["blocks"]:
-            h = basic_transformer_block(blk, h, cfg.temp_num_heads, backend="xla", compute_dtype=compute_dtype)
+        # Under W-sharded serving the token axis here is FRAMES (pixels sit in
+        # the batch dim), so the transformer must not treat it as a shard of a
+        # global spatial extent — suspend the spatial context. (The GroupNorm
+        # above DOES span the sharded H*W extent and keeps it active.)
+        from posetraj_tpu.parallel import spmd
+
+        with spmd.local_tokens():
+            for blk in params["temp"]["blocks"]:
+                h = basic_transformer_block(
+                    blk, h, cfg.temp_num_heads, backend="xla", compute_dtype=compute_dtype
+                )
         h = linear(params["temp"]["proj_out"], h, compute_dtype)
         h = h.reshape(b, eh * ew, f, ec).transpose(0, 2, 1, 3).reshape(n, eh, ew, ec)
         emb = residual + h

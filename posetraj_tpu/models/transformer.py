@@ -69,6 +69,16 @@ def attention_module(
     backend: str = "auto",
     compute_dtype=None,
 ) -> jax.Array:
+    # W-sharded serving (parallel/spmd.py): self-attention tokens are a shard
+    # of the global H*W extent — K/V all-gather over the shard axis inside
+    # attention(). Cross-attention context (the length-1 CLIP embedding) is
+    # replicated, so it never gathers.
+    from posetraj_tpu.parallel import spmd
+
+    ctx_sp = spmd.current()
+    gather_axis = (
+        ctx_sp.sp_axis if (ctx_sp is not None and ctx_sp.sharded_w and context is None) else None
+    )
     if context is None and "bias" not in params["to_q"]:
         # Self-attention: one (C, 3C) matmul instead of three (C, C) ones —
         # wider output lanes use the MXU better at C=320 (960 pads to 1024 vs
@@ -86,7 +96,7 @@ def attention_module(
         q = linear(params["to_q"], x, compute_dtype)
         k = linear(params["to_k"], ctx, compute_dtype)
         v = linear(params["to_v"], ctx, compute_dtype)
-    out = attention(q, k, v, num_heads, backend=backend)
+    out = attention(q, k, v, num_heads, backend=backend, gather_kv_axis=gather_axis)
     return linear(params["to_out"], out, compute_dtype)
 
 
@@ -360,9 +370,34 @@ def transformer_spatio_temporal(
     if fidelity_time_context_order:
         # Q7 (diffusers 0.24.0): the flat (H*W*B) context is sequence-major
         # while hidden rows are batch-major, so pixel (b, s) reads entry
-        # (b*S + s) % B. Reproduce via gather on the (B,) table.
-        flat_idx = (jnp.arange(b)[:, None] * s + jnp.arange(s)[None, :]) % b  # (B, S)
-        time_context = ctx_first[flat_idx]  # (B, S, 1, D)
+        # (b*S + s) % B — for the CFG batch of 2 the cond/uncond contexts
+        # INTERLEAVE across pixels. Reproduce via gather on the (B,) table.
+        #
+        # Under sharded serving (parallel/spmd.py) both the batch rows (cfg
+        # axis) and the token positions (sp axis) are shards of global
+        # extents: the modulo must use global indices, and the interleave
+        # needs the OTHER cfg branch's context row — all-gather the tiny
+        # (b, 1, D) table over "cfg" (B*D floats; the hidden states never
+        # move).
+        from posetraj_tpu.parallel import spmd
+
+        ctx_sp = spmd.current()
+        if ctx_sp is not None and (ctx_sp.sharded_w or ctx_sp.cfg_size > 1):
+            table = ctx_first
+            b_glob, b_ids = b, jnp.arange(b)
+            if ctx_sp.cfg_size > 1:
+                table = jax.lax.all_gather(ctx_first, ctx_sp.cfg_axis, axis=0, tiled=True)
+                b_glob = b * ctx_sp.cfg_size
+                b_ids = jax.lax.axis_index(ctx_sp.cfg_axis) * b + jnp.arange(b)
+            w_glob = ww * ctx_sp.sp_size
+            col = jax.lax.axis_index(ctx_sp.sp_axis) * ww + jnp.arange(ww) \
+                if ctx_sp.sharded_w else jnp.arange(ww)
+            s_glob = (jnp.arange(hh)[:, None] * w_glob + col[None, :]).reshape(-1)  # (s,)
+            flat_idx = (b_ids[:, None] * (hh * w_glob) + s_glob[None, :]) % b_glob
+            time_context = table[flat_idx]  # (b, S, 1, D)
+        else:
+            flat_idx = (jnp.arange(b)[:, None] * s + jnp.arange(s)[None, :]) % b  # (B, S)
+            time_context = ctx_first[flat_idx]  # (B, S, 1, D)
         time_context = time_context.transpose(0, 2, 1, 3)  # (B, 1, S, D)
     else:
         time_context = jnp.broadcast_to(ctx_first[:, :, None, :], (b, 1, s, ctx_first.shape[-1]))

@@ -36,27 +36,39 @@ def attention(
     num_heads: int,
     scale: Optional[float] = None,
     backend: str = "auto",
+    gather_kv_axis: Optional[str] = None,
 ) -> jax.Array:
     """Multi-head SDPA over flat (B, S, D_model) q and (B, S_kv, D_model) k/v.
 
     Returns (B, S, D_model). `backend`: "auto" | "xla" | "pallas".
+
+    gather_kv_axis: mesh axis name for W-sharded serving (parallel/spmd.py):
+    k/v arrive token-sharded and are all-gathered over that axis so each chip
+    runs its local query rows against the full token extent. Softmax over K
+    is permutation-invariant, so the shard-order concatenation is exact.
     """
+    if gather_kv_axis is not None:
+        k = jax.lax.all_gather(k, gather_kv_axis, axis=1, tiled=True)
+        v = jax.lax.all_gather(v, gather_kv_axis, axis=1, tiled=True)
+
     b, sq, d = q.shape
+    skv = k.shape[1]
     head_dim = d // num_heads
     if scale is None:
         scale = head_dim**-0.5
     qh = q.reshape(b, sq, num_heads, head_dim)
-    kh = k.reshape(b, k.shape[1], num_heads, head_dim)
-    vh = v.reshape(b, v.shape[1], num_heads, head_dim)
+    kh = k.reshape(b, skv, num_heads, head_dim)
+    vh = v.reshape(b, skv, num_heads, head_dim)
 
     if backend == "auto":
         # Pallas flash attention pays off for long spatial sequences on TPU;
         # tiny-seq (temporal, 14 tokens) and cross-attn (kv_len=1) stay XLA.
+        # Rectangular (gathered-KV serving: skv = n_shards * sq) qualifies.
         backend = "xla"
         if (
             jax.default_backend() == "tpu"
             and sq >= 512
-            and k.shape[1] == sq
+            and skv >= sq
             and head_dim % 64 == 0
             and head_dim <= 128  # MXU-aligned; big-head (VAE) stays XLA
         ):
@@ -76,10 +88,12 @@ def attention(
         # VPU work) with the q block sized so the fp32 logits fit scoped
         # VMEM — S=2304: (1152, 2304) measured 4.18 ms vs 7.48 for
         # (512, 512). Short sequences clamp to a single block either way.
-        if sq >= 4096:
+        # Keyed on the K extent (the loop dimension), which differs from sq
+        # in the gathered-KV serving path.
+        if skv >= 4096:
             bq, bk = 1024, 1024
-        elif sq >= 1024:
-            bk = -(-sq // 128) * 128  # single K block over the padded seq
+        elif skv >= 1024:
+            bk = -(-skv // 128) * 128  # single K block over the padded seq
             bq = max(128, min(1280, (11_000_000 // (4 * bk)) & ~127))
         else:
             bq, bk = 1024, 1024  # both clamp to the padded sequence => 1 block

@@ -175,23 +175,26 @@ def flash_attention_tq(
     block_k: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
-    """Transposed-accumulator flash attention over (B, S, N, H) — same
-    contract as flash_attention, faster at head_dim 64 (see _flash_kernel_tq)."""
+    """Transposed-accumulator flash attention over (B, Sq, N, H) q and
+    (B, Skv, N, H) k/v — same contract as flash_attention, faster at head_dim
+    64 (see _flash_kernel_tq). Sq and Skv may differ (W-sharded serving
+    gathers K/V over the shard axis, so Skv = n_shards * Sq there)."""
     b, s, n, h = q.shape
+    skv = k.shape[1]
 
     def fold(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * n, s, h)
+        return x.transpose(0, 2, 1, 3).reshape(b * n, x.shape[1], h)
 
     qf, kf, vf = fold(q), fold(k), fold(v)
 
     block_q = min(block_q, _round_up(s, 128))
-    block_k = min(block_k, _round_up(s, 128))
+    block_k = min(block_k, _round_up(skv, 128))
     sq_pad = _round_up(s, block_q)
-    sk_pad = _round_up(s, block_k)
+    sk_pad = _round_up(skv, block_k)
     if sq_pad != s:
         qf = jnp.pad(qf, ((0, 0), (0, sq_pad - s), (0, 0)))
-    if sk_pad != s:
-        pad = ((0, 0), (0, sk_pad - s), (0, 0))
+    if sk_pad != skv:
+        pad = ((0, 0), (0, sk_pad - skv), (0, 0))
         kf = jnp.pad(kf, pad)
         vf = jnp.pad(vf, pad)
 
@@ -199,7 +202,7 @@ def flash_attention_tq(
     v_t = vf.transpose(0, 2, 1)  # (B*N, H, Sk_pad)
 
     grid = (b * n, sq_pad // block_q)
-    kernel = functools.partial(_flash_kernel_tq, scale=scale, block_k=block_k, s_len=s)
+    kernel = functools.partial(_flash_kernel_tq, scale=scale, block_k=block_k, s_len=skv)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -227,15 +230,16 @@ def flash_attention(
     block_k: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """Self-attention over (B, S, N, H) q/k/v with equal q/kv lengths.
+    """Attention over (B, Sq, N, H) q and (B, Skv, N, H) k/v.
 
-    Returns (B, S, N, H) in q.dtype. Sequences are padded to the block grid;
+    Returns (B, Sq, N, H) in q.dtype. Sequences are padded to the block grid;
     padded K columns are masked inside the kernel, padded Q rows sliced off.
     """
     b, s, n, h = q.shape
+    skv = k.shape[1]
     # Fold heads into batch; kernel operates on (B*N, S, H).
     def fold(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * n, s, h)
+        return x.transpose(0, 2, 1, 3).reshape(b * n, x.shape[1], h)
 
     qf, kf, vf = fold(q), fold(k), fold(v)
 
@@ -244,18 +248,18 @@ def flash_attention(
     # final q rows unwritten whenever that multiple isn't divisible by
     # block_q, e.g. S=576 with bq=512.)
     block_q = min(block_q, _round_up(s, 128))
-    block_k = min(block_k, _round_up(s, 128))
+    block_k = min(block_k, _round_up(skv, 128))
     sq_pad = _round_up(s, block_q)
-    sk_pad = _round_up(s, block_k)
+    sk_pad = _round_up(skv, block_k)
     if sq_pad != s:
         qf = jnp.pad(qf, ((0, 0), (0, sq_pad - s), (0, 0)))
-    if sk_pad != s:
-        pad = ((0, 0), (0, sk_pad - s), (0, 0))
+    if sk_pad != skv:
+        pad = ((0, 0), (0, sk_pad - skv), (0, 0))
         kf = jnp.pad(kf, pad)
         vf = jnp.pad(vf, pad)
 
     grid = (b * n, sq_pad // block_q)
-    kernel = functools.partial(_flash_kernel, scale=scale, block_k=block_k, s_len=s)
+    kernel = functools.partial(_flash_kernel, scale=scale, block_k=block_k, s_len=skv)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -421,25 +425,26 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
 def _flash_fwd_lse(q, k, v, scale, block_q=512, block_k=1024, interpret=False):
     b, s, n, h = q.shape
+    skv = k.shape[1]
 
     def fold(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * n, s, h)
+        return x.transpose(0, 2, 1, 3).reshape(b * n, x.shape[1], h)
 
     qf, kf, vf = fold(q), fold(k), fold(v)
     block_q = min(block_q, _round_up(s, 128))
-    block_k = min(block_k, _round_up(s, 128))
+    block_k = min(block_k, _round_up(skv, 128))
     sq_pad = _round_up(s, block_q)
-    sk_pad = _round_up(s, block_k)
+    sk_pad = _round_up(skv, block_k)
     if sq_pad != s:
         qf = jnp.pad(qf, ((0, 0), (0, sq_pad - s), (0, 0)))
-    if sk_pad != s:
-        pad = ((0, 0), (0, sk_pad - s), (0, 0))
+    if sk_pad != skv:
+        pad = ((0, 0), (0, sk_pad - skv), (0, 0))
         kf = jnp.pad(kf, pad)
         vf = jnp.pad(vf, pad)
     q_t = qf.transpose(0, 2, 1)
     v_t = vf.transpose(0, 2, 1)
     grid = (b * n, sq_pad // block_q)
-    kernel = functools.partial(_flash_kernel_tq_lse, scale=scale, block_k=block_k, s_len=s)
+    kernel = functools.partial(_flash_kernel_tq_lse, scale=scale, block_k=block_k, s_len=skv)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -465,79 +470,80 @@ def _flash_fwd_lse(q, k, v, scale, block_q=512, block_k=1024, interpret=False):
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
 def _flash_bwd(q, k, v, out, lse, do, scale, block_q=512, block_k=512, interpret=False):
     b, s, n, h = q.shape
+    skv = k.shape[1]
 
     def fold(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * n, s, h)
+        return x.transpose(0, 2, 1, 3).reshape(b * n, x.shape[1], h)
 
     qf, kf, vf, of, dof = fold(q), fold(k), fold(v), fold(out), fold(do)
-    delta = jnp.sum(of.astype(jnp.float32) * dof.astype(jnp.float32), axis=-1)  # (B*N, S)
+    delta = jnp.sum(of.astype(jnp.float32) * dof.astype(jnp.float32), axis=-1)  # (B*N, Sq)
 
     block_q = min(block_q, _round_up(s, 128))
-    block_k = min(block_k, _round_up(s, 128))
+    block_k = min(block_k, _round_up(skv, 128))
+    # Q-side tensors pad to the q-block grid, K-side to the k-block grid;
+    # each kernel loops over the OTHER side's full padded extent, masking the
+    # pad (q rows in dkv, k columns in dq) to -inf logits.
     sq_pad = _round_up(s, block_q)
-    sk_pad = _round_up(s, block_k)
-    s_both = max(sq_pad, sk_pad)
-    # One padded length for both axes: the dq kernel slices K in bk blocks
-    # and the dkv kernel slices Q in bq blocks, so each needs the other's
-    # grid to divide its padded extent.
-    s_both = _round_up(s_both, block_q)
-    s_both = _round_up(s_both, block_k)
-    padn = lambda x: jnp.pad(x, ((0, 0), (0, s_both - s), (0, 0))) if s_both != s else x
-    qf, kf, vf, dof = padn(qf), padn(kf), padn(vf), padn(dof)
+    sk_pad = _round_up(skv, block_k)
+    padq = lambda x: jnp.pad(x, ((0, 0), (0, sq_pad - s), (0, 0))) if sq_pad != s else x
+    padk = lambda x: jnp.pad(x, ((0, 0), (0, sk_pad - skv), (0, 0))) if sk_pad != skv else x
+    qf, dof = padq(qf), padq(dof)
+    kf, vf = padk(kf), padk(vf)
     # lse arrives padded to the FORWARD q grid, which may differ from the
     # backward padding (dispatch may pick different blocks): slice to the true
     # length first, then re-pad. Padded q rows are masked to -inf logits in
     # the dkv kernel, so the pad values never matter.
     lse = lse[:, :s]
-    if lse.shape[1] != s_both:
-        lse = jnp.pad(lse, ((0, 0), (0, s_both - lse.shape[1])))
-    if delta.shape[1] != s_both:
-        delta = jnp.pad(delta, ((0, 0), (0, s_both - delta.shape[1])))
+    if lse.shape[1] != sq_pad:
+        lse = jnp.pad(lse, ((0, 0), (0, sq_pad - lse.shape[1])))
+    if delta.shape[1] != sq_pad:
+        delta = jnp.pad(delta, ((0, 0), (0, sq_pad - delta.shape[1])))
 
     lse3 = lse[:, None, :]
     delta3 = delta[:, None, :]
-    grid_q = (b * n, s_both // block_q)
+    grid_q = (b * n, sq_pad // block_q)
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, scale=scale, block_k=block_k, s_len=s),
+        functools.partial(_flash_bwd_dq_kernel, scale=scale, block_k=block_k, s_len=skv),
         grid=grid_q,
         in_specs=[
             pl.BlockSpec((1, block_q, h), lambda bi, qi: (bi, qi, 0)),
-            pl.BlockSpec((1, s_both, h), lambda bi, qi: (bi, 0, 0)),
-            pl.BlockSpec((1, s_both, h), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, sk_pad, h), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, sk_pad, h), lambda bi, qi: (bi, 0, 0)),
             pl.BlockSpec((1, block_q, h), lambda bi, qi: (bi, qi, 0)),
             pl.BlockSpec((1, 1, block_q), lambda bi, qi: (bi, 0, qi)),
             pl.BlockSpec((1, 1, block_q), lambda bi, qi: (bi, 0, qi)),
         ],
         out_specs=pl.BlockSpec((1, block_q, h), lambda bi, qi: (bi, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * n, s_both, h), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * n, sq_pad, h), q.dtype),
         interpret=interpret,
     )(qf, kf, vf, dof, lse3, delta3)
 
-    grid_k = (b * n, s_both // block_k)
+    grid_k = (b * n, sk_pad // block_k)
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, scale=scale, block_q=block_q, s_len=s),
         grid=grid_k,
         in_specs=[
-            pl.BlockSpec((1, s_both, h), lambda bi, ki: (bi, 0, 0)),
+            pl.BlockSpec((1, sq_pad, h), lambda bi, ki: (bi, 0, 0)),
             pl.BlockSpec((1, block_k, h), lambda bi, ki: (bi, ki, 0)),
             pl.BlockSpec((1, block_k, h), lambda bi, ki: (bi, ki, 0)),
-            pl.BlockSpec((1, s_both, h), lambda bi, ki: (bi, 0, 0)),
-            pl.BlockSpec((1, 1, s_both), lambda bi, ki: (bi, 0, 0)),
-            pl.BlockSpec((1, 1, s_both), lambda bi, ki: (bi, 0, 0)),
+            pl.BlockSpec((1, sq_pad, h), lambda bi, ki: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, sq_pad), lambda bi, ki: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, sq_pad), lambda bi, ki: (bi, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, h), lambda bi, ki: (bi, ki, 0)),
             pl.BlockSpec((1, block_k, h), lambda bi, ki: (bi, ki, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * n, s_both, h), q.dtype),
-            jax.ShapeDtypeStruct((b * n, s_both, h), q.dtype),
+            jax.ShapeDtypeStruct((b * n, sk_pad, h), q.dtype),
+            jax.ShapeDtypeStruct((b * n, sk_pad, h), q.dtype),
         ],
         interpret=interpret,
     )(qf, kf, vf, dof, lse3, delta3)
 
-    unfold = lambda x: x[:, :s, :].reshape(b, n, s, h).transpose(0, 2, 1, 3)
-    return unfold(dq), unfold(dk), unfold(dv)
+    unfold_q = lambda x: x[:, :s, :].reshape(b, n, s, h).transpose(0, 2, 1, 3)
+    unfold_k = lambda x: x[:, :skv, :].reshape(b, n, skv, h).transpose(0, 2, 1, 3)
+    return unfold_q(dq), unfold_k(dk), unfold_k(dv)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

@@ -62,7 +62,9 @@ def _norm_kernel(x_ref, w_ref, b_ref, o_ref, *, act: bool):
     o_ref[0] = y.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_groups", "eps", "act", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("num_groups", "eps", "act", "interpret", "psum_axis")
+)
 def _fused_group_norm_impl(
     x: jax.Array,
     scale: jax.Array,
@@ -71,6 +73,7 @@ def _fused_group_norm_impl(
     eps: float = 1e-5,
     act: bool = False,
     interpret: bool = False,
+    psum_axis=None,
 ) -> jax.Array:
     n = x.shape[0]
     c = x.shape[-1]
@@ -101,7 +104,13 @@ def _fused_group_norm_impl(
     )(xf)
 
     sums = partials.sum(axis=1)  # (N, 2G)
-    denom = float(s * cg)
+    n_shards = 1
+    if psum_axis is not None:
+        # W-sharded spatial statistics (parallel/spmd.py): the local partials
+        # cover 1/n of the global H*W extent — reduce over the shard axis.
+        sums = jax.lax.psum(sums, psum_axis)
+        n_shards = jax.lax.psum(1, psum_axis)
+    denom = float(s * cg) * n_shards
     mean_g = sums[:, :num_groups] / denom
     var_g = sums[:, num_groups:] / denom - mean_g**2
     inv_g = jax.lax.rsqrt(jnp.maximum(var_g, 0.0) + eps)  # (N, G)
@@ -126,14 +135,23 @@ def _fused_group_norm_impl(
     return out[:, :s].reshape(x.shape)
 
 
-def _ref_group_norm(x, scale, bias, num_groups, eps, act):
+def _ref_group_norm(x, scale, bias, num_groups, eps, act, psum_axis=None):
     """Plain-XLA groupnorm(+silu), used only for the custom_vjp backward
-    (mirrors ops/primitives.group_norm without the Pallas dispatch)."""
+    (mirrors ops/primitives.group_norm without the Pallas dispatch).
+    Differentiating through the psum'd statistics gives the correct sharded
+    gradient (psum transposes to psum under shard_map)."""
     orig_dtype = x.dtype
     n, c = x.shape[0], x.shape[-1]
     xf = x.astype(jnp.float32).reshape(n, -1, num_groups, c // num_groups)
-    mean = xf.mean(axis=(1, 3), keepdims=True)
-    var = xf.var(axis=(1, 3), keepdims=True)
+    if psum_axis is not None:
+        cnt = xf.shape[1] * xf.shape[3] * jax.lax.psum(1, psum_axis)
+        s1 = jax.lax.psum(xf.sum(axis=(1, 3), keepdims=True), psum_axis)
+        s2 = jax.lax.psum((xf * xf).sum(axis=(1, 3), keepdims=True), psum_axis)
+        mean = s1 / cnt
+        var = jnp.maximum(s2 / cnt - mean * mean, 0.0)
+    else:
+        mean = xf.mean(axis=(1, 3), keepdims=True)
+        var = xf.var(axis=(1, 3), keepdims=True)
     xf = (xf - mean) * jax.lax.rsqrt(var + eps)
     y = xf.reshape(x.shape) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if act:
@@ -141,7 +159,7 @@ def _ref_group_norm(x, scale, bias, num_groups, eps, act):
     return y.astype(orig_dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def fused_group_norm(
     x: jax.Array,
     scale: jax.Array,
@@ -150,23 +168,29 @@ def fused_group_norm(
     eps: float = 1e-5,
     act: bool = False,
     interpret: bool = False,
+    psum_axis=None,
 ) -> jax.Array:
     """(N, ..., C) channels-last GroupNorm with optional fused SiLU.
 
     Forward runs the Pallas kernels; gradients route through the plain XLA
     formulation (custom_vjp — Pallas kernels are not differentiable and the
-    trainable ControlNet's groupnorms sit on the grad path)."""
-    return _fused_group_norm_impl(x, scale, bias, num_groups, eps, act, interpret)
+    trainable ControlNet's groupnorms sit on the grad path).
+
+    psum_axis: mesh axis name for W-sharded spatial statistics
+    (parallel/spmd.py) — the stats kernel's partials are psum'd over it."""
+    return _fused_group_norm_impl(x, scale, bias, num_groups, eps, act, interpret, psum_axis)
 
 
-def _gn_fwd(x, scale, bias, num_groups, eps, act, interpret):
-    return _fused_group_norm_impl(x, scale, bias, num_groups, eps, act, interpret), (
+def _gn_fwd(x, scale, bias, num_groups, eps, act, interpret, psum_axis):
+    return _fused_group_norm_impl(x, scale, bias, num_groups, eps, act, interpret, psum_axis), (
         x, scale, bias)
 
 
-def _gn_bwd(num_groups, eps, act, interpret, res, ct):
+def _gn_bwd(num_groups, eps, act, interpret, psum_axis, res, ct):
     x, scale, bias = res
-    _, vjp = jax.vjp(lambda *a: _ref_group_norm(*a, num_groups, eps, act), x, scale, bias)
+    _, vjp = jax.vjp(
+        lambda *a: _ref_group_norm(*a, num_groups, eps, act, psum_axis), x, scale, bias
+    )
     return vjp(ct)
 
 

@@ -37,16 +37,45 @@ def conv2d(
 
     `padding` accepts "SAME"/"VALID" or an explicit ((top,bottom),(left,right))
     pair — the VAE downsampler needs torch's asymmetric pad (0,1,0,1).
+
+    Under an active spatial-sharding context (parallel/spmd.py) the W axis of
+    `x` is a shard of the global width: the conv exchanges halo columns with
+    its W-neighbors and runs VALID along W, reproducing the global conv's
+    local output shard exactly (edge shards receive ppermute zeros == conv
+    zero padding).
     """
+    from posetraj_tpu.parallel import spmd
+
     dt = compute_dtype or x.dtype
-    y = lax.conv_general_dilated(
-        x.astype(dt),
-        params["kernel"].astype(dt),
-        window_strides=(stride, stride),
-        padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=dt,
-    )
+    ctx = spmd.current()
+    kh, kw = params["kernel"].shape[:2]
+    if ctx is not None and ctx.sharded_w and (kw > 1 or stride > 1):
+        if padding == "SAME":
+            # SAME for odd kernels at stride 1 == symmetric torch padding.
+            pad_h, pad_w = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+        elif padding == "VALID":
+            pad_h, pad_w = ((0, 0), (0, 0))
+        else:
+            pad_h, pad_w = padding
+        halo_l, halo_r = spmd.conv_halo_plan(kw, stride, pad_w)
+        xh = spmd.halo_exchange_w(x.astype(dt), halo_l, halo_r, ctx)
+        y = lax.conv_general_dilated(
+            xh,
+            params["kernel"].astype(dt),
+            window_strides=(stride, stride),
+            padding=(pad_h, (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dt,
+        )
+    else:
+        y = lax.conv_general_dilated(
+            x.astype(dt),
+            params["kernel"].astype(dt),
+            window_strides=(stride, stride),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dt,
+        )
     if "bias" in params:
         y = y + params["bias"].astype(dt)
     return y
@@ -91,10 +120,15 @@ def group_norm(params: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e
     spatial dims + the within-group channel dim, matching torch GroupNorm on
     (N, C, *spatial).
     """
+    from posetraj_tpu.parallel import spmd
     from posetraj_tpu.ops.pallas_groupnorm import fused_group_norm, fused_group_norm_applicable
 
+    ctx = spmd.current()
+    psum_axis = ctx.sp_axis if (ctx is not None and ctx.sharded_w) else None
     if fused_group_norm_applicable(x, num_groups):
-        return fused_group_norm(x, params["scale"], params["bias"], num_groups, eps, act=False)
+        return fused_group_norm(
+            x, params["scale"], params["bias"], num_groups, eps, act=False, psum_axis=psum_axis
+        )
     orig_dtype = x.dtype
     n = x.shape[0]
     c = x.shape[-1]
@@ -110,8 +144,18 @@ def group_norm(params: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e
 
         num_groups = math.gcd(c, num_groups)
     xf = x.astype(jnp.float32).reshape(n, -1, num_groups, c // num_groups)
-    mean = xf.mean(axis=(1, 3), keepdims=True)
-    var = xf.var(axis=(1, 3), keepdims=True)
+    if psum_axis is not None:
+        # W-sharded spatial stats: local partial [sum, sumsq] per (sample,
+        # group), reduced over the shard axis — identical math to the global
+        # mean/var up to summation order.
+        cnt = xf.shape[1] * xf.shape[3] * ctx.sp_size
+        s1 = lax.psum(xf.sum(axis=(1, 3), keepdims=True), psum_axis)
+        s2 = lax.psum((xf * xf).sum(axis=(1, 3), keepdims=True), psum_axis)
+        mean = s1 / cnt
+        var = jnp.maximum(s2 / cnt - mean * mean, 0.0)
+    else:
+        mean = xf.mean(axis=(1, 3), keepdims=True)
+        var = xf.var(axis=(1, 3), keepdims=True)
     xf = (xf - mean) * lax.rsqrt(var + eps)
     xf = xf.reshape(x.shape)
     out = xf * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
@@ -125,10 +169,15 @@ def group_norm_silu(
     Pallas kernel on TPU when the per-sample block fits VMEM, else the XLA
     path. Resnet blocks always normalize-then-silu, so fusing both into one
     HBM pass saves ~2ms per call at UNet level-0 shapes on v5e."""
+    from posetraj_tpu.parallel import spmd
     from posetraj_tpu.ops.pallas_groupnorm import fused_group_norm, fused_group_norm_applicable
 
     if fused_group_norm_applicable(x, num_groups):
-        return fused_group_norm(x, params["scale"], params["bias"], num_groups, eps, act)
+        ctx = spmd.current()
+        psum_axis = ctx.sp_axis if (ctx is not None and ctx.sharded_w) else None
+        return fused_group_norm(
+            x, params["scale"], params["bias"], num_groups, eps, act, psum_axis=psum_axis
+        )
     h = group_norm(params, x, num_groups, eps)
     return silu(h) if act else h
 

@@ -110,6 +110,15 @@ def encode_image_vae(
     return jnp.concatenate([jnp.zeros_like(mean), mean], axis=0)
 
 
+def _init_noise_sigma(bundle: ModelBundle, sigmas: jax.Array) -> jax.Array:
+    """Initial-latent scale (scheduling_euler_discrete_karras_fix.py:248-255):
+    max sigma for linspace/trailing spacing, sqrt(sigma_max^2+1) otherwise —
+    the checkpoint's "leading" spacing takes the sqrt branch."""
+    if bundle.scheduler.timestep_spacing in ("linspace", "trailing"):
+        return sigmas[0]
+    return jnp.sqrt(sigmas[0] ** 2 + 1.0)
+
+
 def added_time_ids_inference(pcfg: PipelineConfig) -> np.ndarray:
     """(1, 3) in the INFERENCE order [fps, motion_bucket, noise_aug].
 
@@ -257,7 +266,7 @@ def generate(
     image_m11 = image * 2.0 - 1.0  # VaeImageProcessor.preprocess normalize (:449)
     image_latents = encode_image_vae(params, bundle, image_m11, noises["image_aug"], pcfg.noise_aug_strength)
 
-    latents = noises["latents"].astype(jnp.float32) * sigmas[0]
+    latents = noises["latents"].astype(jnp.float32) * _init_noise_sigma(bundle, sigmas)
 
     control = (control_video * 2.0 - 1.0).astype(compute_dtype)
     control = jnp.concatenate([control, control], axis=0)  # CFG x2 (:502)
@@ -295,14 +304,23 @@ class SVDControlNetPipeline:
     compiled program per (resolution, frames, steps) signature.
     """
 
-    def __init__(self, params: Dict, bundle: ModelBundle = ModelBundle(), mesh=None):
+    def __init__(self, params: Dict, bundle: ModelBundle = ModelBundle(), mesh=None,
+                 serve_mesh=None):
         """mesh: optional jax.sharding.Mesh for pod-scale batched serving —
         inputs shard their batch axis over "data" and the big transformer
         weights tensor-shard over "model" (parallel/mesh.py); XLA propagates
-        shardings through the whole compiled program (BASELINE configs[4])."""
+        shardings through the whole compiled program (BASELINE configs[4]).
+
+        serve_mesh: optional ("cfg", "sp") mesh for SINGLE-video sharded
+        serving (parallel/serve.py) — the v5e-8 north-star path. Used for
+        batch-1 calls; mutually exclusive with `mesh`."""
         self.params = params
         self.bundle = bundle
         self.mesh = mesh
+        self.serve_mesh = serve_mesh
+        assert not (mesh is not None and serve_mesh is not None), (
+            "mesh (batched) and serve_mesh (single-video) are mutually exclusive"
+        )
         if mesh is not None:
             from posetraj_tpu.parallel.mesh import param_shardings, shard_params
 
@@ -369,6 +387,20 @@ class SVDControlNetPipeline:
 
         sched = make_schedule(self.bundle.scheduler, num_inference_steps)
         time_ids = np.tile(added_time_ids_inference(pcfg), (b, 1))  # per-video rows
+        if self.serve_mesh is not None and b == 1:
+            from posetraj_tpu.parallel.serve import generate_sharded
+
+            frames = generate_sharded(
+                self.params, self.bundle, pcfg,
+                jnp.asarray(image), jnp.asarray(control), noises,
+                jnp.asarray(time_ids), jnp.asarray(sched.sigmas),
+                jnp.asarray(sched.timesteps), num_frames, self.serve_mesh,
+                camera_cond=None if camera_cond is None else jnp.asarray(camera_cond),
+                bbox_cond=None if bbox_condition is None else jnp.asarray(_to_float_array(bbox_condition)),
+                rot_id=None if rot_id is None else jnp.asarray(rot_id),
+                output_latent=(output_type == "latent"),
+            )
+            return self._postprocess(frames, output_type)
         image, control, noises = self._shard_batch((jnp.asarray(image), jnp.asarray(control), noises))
         frames = generate(
             self.params,
@@ -386,9 +418,13 @@ class SVDControlNetPipeline:
             rot_id=None if rot_id is None else jnp.asarray(rot_id),
             output_latent=(output_type == "latent"),
         )
-        if output_type == "latent":
-            return np.asarray(frames)
+        return self._postprocess(frames, output_type)
+
+    @staticmethod
+    def _postprocess(frames, output_type: str):
         out = np.asarray(frames)
+        if output_type in ("latent", "np"):
+            return out
         if output_type == "pil":
             from PIL import Image
 
