@@ -42,6 +42,19 @@ def _normalize(x: np.ndarray) -> np.ndarray:
     return x / 255.0 * 2.0 - 1.0
 
 
+def _sample_rng(seed: int, epoch: int, index: int) -> random.Random:
+    """Per-(seed, epoch, index) RNG.
+
+    The reference draws its random frame window from DataLoader-worker-local
+    torch RNG state, so sample content depends on worker scheduling; here
+    every sample's randomness is a pure function of (seed, epoch, index) —
+    thread-pool loading (PrefetchLoader) and resume fast-forward reproduce an
+    uninterrupted run byte-for-byte at any worker count. Mixing constants are
+    arbitrary odd primes; hash() is avoided (PYTHONHASHSEED-dependent for
+    some types)."""
+    return random.Random((seed * 1_000_003 + epoch) * 1_000_033 + index)
+
+
 class TrajectoryBlenderDataset:
     """PoseTraj-10k loader (stage-1 pretrain data).
 
@@ -80,7 +93,8 @@ class TrajectoryBlenderDataset:
         self.return_rot = return_rot
         self.return_bbox = return_bbox
         self.mask_initial = mask_initial
-        self.rng = random.Random(seed)
+        self.seed = 0 if seed is None else seed
+        self._epoch = 0
 
         vids = sorted(os.listdir(path))
         if filter_num != -1:
@@ -103,10 +117,15 @@ class TrajectoryBlenderDataset:
     def __len__(self) -> int:
         return len(self.vids) * self.repeat_times
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the per-sample RNG stream (new window draws each epoch)."""
+        self._epoch = epoch
+
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         vid_idx = index // self.repeat_times
         name = self.vids[vid_idx]
-        start = self.rng.randint(0, self.vid_lengths[vid_idx] - self.frame_length)
+        rng = _sample_rng(self.seed, self._epoch, index)
+        start = rng.randint(0, self.vid_lengths[vid_idx] - self.frame_length)
         vdir = os.path.join(self.path, name)
 
         frames_list = sorted(os.listdir(os.path.join(vdir, self.images_folder)))
@@ -190,7 +209,8 @@ class TrajectoryVIPSegDataset:
         self.cam_mask_ratio = cam_mask_ratio
         self.cam_norm = cam_norm
         self.fidelity_bgr_swap = fidelity_bgr_swap
-        self.rng = random.Random(seed)
+        self.seed = 0 if seed is None else seed
+        self._epoch = 0
 
         with open(split_file) as f:
             wanted = {line.strip() for line in f if line.strip()}
@@ -211,7 +231,10 @@ class TrajectoryVIPSegDataset:
     def __len__(self) -> int:
         return len(self.vids) * self.repeat_times
 
-    def _camera(self, name: str, start: int) -> np.ndarray:
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def _camera(self, name: str, start: int, rng: random.Random) -> np.ndarray:
         f = self.frame_length
         cam = np.zeros((f, 12), np.float32)
         if self.camera_path:
@@ -223,7 +246,7 @@ class TrajectoryVIPSegDataset:
                 if np.isnan(t).any():  # NaN translation -> zeros (:809-810)
                     t = np.zeros_like(t)
                 cam = np.concatenate([r, t], axis=-1)[start : start + f].astype(np.float32)
-        if self.rng.random() < self.cam_mask_ratio:  # random zero-mask (:813-814)
+        if rng.random() < self.cam_mask_ratio:  # random zero-mask (:813-814)
             cam = np.zeros((f, 12), np.float32)
         if self.cam_norm:  # first-frame normalization (:818-819)
             cam = cam - cam[0]
@@ -232,7 +255,8 @@ class TrajectoryVIPSegDataset:
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         vid_idx = index // self.repeat_times
         name = self.vids[vid_idx]
-        start = self.rng.randint(0, self.vid_lengths[vid_idx] - self.frame_length)
+        rng = _sample_rng(self.seed, self._epoch, index)
+        start = rng.randint(0, self.vid_lengths[vid_idx] - self.frame_length)
 
         frame_files = sorted(os.listdir(os.path.join(self.images_dir, name)))
         first = _load_image(os.path.join(self.images_dir, name, frame_files[start]))
@@ -273,7 +297,7 @@ class TrajectoryVIPSegDataset:
             "img_key": f"{name}_{vid_idx}_{start}",
         }
         if self.return_cam:
-            sample["cam_parameter"] = self._camera(name, start)
+            sample["cam_parameter"] = self._camera(name, start, rng)
         return sample
 
 
@@ -302,7 +326,11 @@ class WebVidDataset:
         self.motion_folder = motion_folder
         self.sample_size = sample_size
         self.frame_length = frame_length
-        self.rng = random.Random(seed)
+        self.seed = 0 if seed is None else seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
 
     def __len__(self) -> int:
         return len(self.rows)
@@ -321,7 +349,9 @@ class WebVidDataset:
         video = self._read_video(os.path.join(self.video_folder, f"{vid}.mp4"))
         if len(video) < self.frame_length:
             raise ValueError(f"{vid}: too short ({len(video)} frames)")
-        start = self.rng.randint(0, len(video) - self.frame_length)
+        start = _sample_rng(self.seed, self._epoch, index).randint(
+            0, len(video) - self.frame_length
+        )
         window = video[start : start + self.frame_length]
         window = np.stack(
             [
@@ -368,17 +398,24 @@ class ResilientDataset:
     def __init__(self, dataset, max_retries: int = 8, seed: int = 0):
         self.dataset = dataset
         self.max_retries = max_retries
-        self.rng = random.Random(seed)
+        self.seed = seed
 
     def __len__(self):
         return len(self.dataset)
 
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+
     def __getitem__(self, index: int):
+        # Resample sequence is a pure function of (seed, index): concurrent
+        # loads of different indices cannot perturb each other's retries.
+        rng = _sample_rng(self.seed, 0, index)
         for _ in range(self.max_retries):
             try:
                 return self.dataset[index]
             except Exception:
-                index = self.rng.randrange(len(self.dataset))
+                index = rng.randrange(len(self.dataset))
         return self.dataset[index]  # surface the error after max_retries
 
 
@@ -390,8 +427,11 @@ class PrefetchLoader:
     sample loading (PIL decode, cv2 rasterization) runs in a thread pool and up
     to `prefetch_batches` assembled batches are kept in flight, so host IO
     overlaps the compiled device step instead of starving it. Identical batch
-    order/content to batch_iterator for the same seed (same shuffle, same
-    remainder wrap-padding, same `skip_batches` resume fast-forward).
+    order/content to batch_iterator for the same seed at ANY worker count
+    (same shuffle, same remainder wrap-padding, same `skip_batches` resume
+    fast-forward): each sample's randomness is a pure function of
+    (dataset.seed, epoch-seed, index) via dataset.set_epoch + _sample_rng, so
+    thread scheduling cannot change content (tests/test_data.py).
     """
 
     def __init__(
@@ -427,6 +467,8 @@ class PrefetchLoader:
     def epoch(self, seed: int = 0, skip_batches: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         import collections
 
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(seed)
         order = list(range(len(self.dataset)))
         rng = random.Random(seed)
         if self.shuffle:
@@ -497,6 +539,8 @@ def batch_iterator(
     train...blender_14.py:1209-1212) while keeping the epoch's shuffle order
     identical to an uninterrupted run.
     """
+    if hasattr(dataset, "set_epoch"):
+        dataset.set_epoch(seed)
     order = list(range(len(dataset)))
     rng = random.Random(seed)
     if shuffle:

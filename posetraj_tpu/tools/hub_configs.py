@@ -135,11 +135,10 @@ EXPECTED: Dict[str, Dict[str, Any]] = {
 def load_config_json(checkpoint_dir: str, subfolder: str) -> Dict[str, Any]:
     """Read ``<checkpoint_dir>/<subfolder>/config.json`` (preprocessor_config
     for the feature extractor), mirroring diffusers' layout."""
-    name = (
-        "preprocessor_config.json"
-        if subfolder == "feature_extractor"
-        else "config.json"
-    )
+    name = {
+        "feature_extractor": "preprocessor_config.json",
+        "scheduler": "scheduler_config.json",
+    }.get(subfolder, "config.json")
     path = os.path.join(checkpoint_dir, subfolder, name)
     with open(path) as f:
         return json.load(f)

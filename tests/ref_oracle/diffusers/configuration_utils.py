@@ -36,6 +36,17 @@ class ConfigMixin:
         merged.update(kwargs)
         self._internal_dict = FrozenDict(merged)
 
+    @classmethod
+    def from_config(cls, config: dict, **overrides):
+        """Instantiate from a config.json dict, dropping unknown keys —
+        diffusers' from_config semantics (used by the parity gate to mirror
+        from_pretrained without hub machinery)."""
+        sig = inspect.signature(cls.__init__)
+        accepted = {
+            k: v for k, v in {**config, **overrides}.items() if k in sig.parameters
+        }
+        return cls(**accepted)
+
 
 def register_to_config(init):
     @functools.wraps(init)

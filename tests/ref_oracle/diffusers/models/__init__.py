@@ -7,3 +7,8 @@ class UNetSpatioTemporalConditionModel:  # import-only type hint target
     """controlnet_sdv.py imports this solely to annotate from_unet(unet=...);
     the oracle tests pass the reference's own ControlNet-consumer UNet (whose
     encoder attributes are identical) instead."""
+
+
+from diffusers.models.autoencoder_kl_temporal_decoder import (  # noqa: E402,F401
+    AutoencoderKLTemporalDecoder,
+)

@@ -19,7 +19,10 @@ from typing import Optional, Tuple
 import torch
 import torch.nn as nn
 
+from diffusers.configuration_utils import register_to_config
+
 from .attention_processor import Attention
+from .modeling_utils import ModelMixin
 from .resnet import Downsample2D, ResnetBlock2D, SpatioTemporalResBlock, Upsample2D
 
 
@@ -324,10 +327,23 @@ class DiagonalGaussianDistribution:
         return self.mean + self.std * noise
 
 
-class AutoencoderKLTemporalDecoder(nn.Module):
-    """2D KL encoder + temporal decoder; quant_conv but NO post_quant_conv
-    (decode consumes latents directly after the caller's /scaling_factor)."""
+class AutoencoderKLOutput:
+    """encode() return wrapper (diffusers modeling_outputs.AutoencoderKLOutput):
+    the pipeline reads ``vae.encode(x).latent_dist.mode()``."""
 
+    def __init__(self, latent_dist: "DiagonalGaussianDistribution"):
+        self.latent_dist = latent_dist
+
+
+class AutoencoderKLTemporalDecoder(ModelMixin):
+    """2D KL encoder + temporal decoder; quant_conv but NO post_quant_conv
+    (decode consumes latents directly after the caller's /scaling_factor).
+
+    ModelMixin + register_to_config so the reference pipeline can read
+    ``vae.config.block_out_channels`` (pipeline...controlnet.py:142) and the
+    parity gate can build it via ``from_config``."""
+
+    @register_to_config
     def __init__(
         self,
         in_channels: int = 3,
@@ -352,10 +368,10 @@ class AutoencoderKLTemporalDecoder(nn.Module):
         )
         self.quant_conv = nn.Conv2d(2 * latent_channels, 2 * latent_channels, 1)
 
-    def encode(self, x: torch.Tensor) -> DiagonalGaussianDistribution:
+    def encode(self, x: torch.Tensor) -> "AutoencoderKLOutput":
         h = self.encoder(x)
         moments = self.quant_conv(h)
-        return DiagonalGaussianDistribution(moments)
+        return AutoencoderKLOutput(DiagonalGaussianDistribution(moments))
 
     def decode(self, z: torch.Tensor, num_frames: int) -> torch.Tensor:
         batch_size = z.shape[0] // num_frames

@@ -98,7 +98,7 @@ def test_encode_matches_reference(torch_vae, jax_params):
     x = torch.randn(B * F, 3, H, W, generator=g)
 
     with torch.no_grad():
-        dist = vae.encode(x)
+        dist = vae.encode(x).latent_dist
         ref_mean = dist.mean.numpy()
         ref_logvar = dist.logvar.numpy()
 
