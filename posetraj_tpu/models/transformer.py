@@ -32,7 +32,7 @@ from posetraj_tpu.models.embeddings import (
     sinusoidal_timestep_embedding,
     timestep_embedding,
 )
-from posetraj_tpu.ops.attention import attention
+from posetraj_tpu.ops.attention import attention, self_attention_qkv
 from posetraj_tpu.ops.primitives import geglu, group_norm_silu, layer_norm, linear
 
 # ---------------------------------------------------------------------------
@@ -90,9 +90,22 @@ def attention_module(
             axis=1,
         ).astype(dt)
         qkv = jnp.dot(x.astype(dt), wqkv, preferred_element_type=dt)
+        if gather_axis is None:
+            # Packed path: the flash kernel reads per-head tiles straight out
+            # of the projection output (ops/attention.self_attention_qkv).
+            out = self_attention_qkv(qkv, num_heads, backend=backend)
+            return linear(params["to_out"], out, compute_dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
     else:
         ctx = context if context is not None else x
+        if context is not None and context.shape[1] == 1:
+            # Single-token cross-attention (the CLIP embedding): softmax over
+            # one key is identically 1, so the output is exactly v broadcast
+            # over every query — skip q/k projections and the attention
+            # entirely. Returned as (B, 1, C); the caller's residual add
+            # broadcasts it over the token axis.
+            v = linear(params["to_v"], ctx, compute_dtype)
+            return linear(params["to_out"], v, compute_dtype)
         q = linear(params["to_q"], x, compute_dtype)
         k = linear(params["to_k"], ctx, compute_dtype)
         v = linear(params["to_v"], ctx, compute_dtype)
@@ -197,8 +210,31 @@ def basic_transformer_block(
     backend: str = "auto",
     compute_dtype=None,
 ) -> jax.Array:
-    h = layer_norm(params["norm1"], x)
-    x = x + attention_module(params["attn1"], h, num_heads, backend=backend, compute_dtype=compute_dtype)
+    from posetraj_tpu.ops.pallas_qkvt import attn_sublayer, attn_sublayer_applicable
+    from posetraj_tpu.parallel import spmd
+
+    a1 = params["attn1"]
+    if (
+        backend in ("auto", "pallas")
+        and "bias" not in a1["to_q"]
+        and spmd.current() is None  # sharded serving gathers K/V inside attention()
+        and attn_sublayer_applicable(x, num_heads)
+    ):
+        # Transposed-packed sub-layer (ops/pallas_qkvt.py): norm1 + fused QKV
+        # projection + flash attention + to_out + residual in three Pallas
+        # kernels with zero HBM layout traffic between them.
+        dt = compute_dtype or x.dtype
+        wqkv = jnp.concatenate(
+            [a1["to_q"]["kernel"], a1["to_k"]["kernel"], a1["to_v"]["kernel"]], axis=1
+        ).astype(dt)
+        x = attn_sublayer(
+            x, params["norm1"]["scale"], params["norm1"]["bias"],
+            wqkv, a1["to_out"]["kernel"].astype(dt), a1["to_out"]["bias"].astype(dt),
+            num_heads,
+        )
+    else:
+        h = layer_norm(params["norm1"], x)
+        x = x + attention_module(a1, h, num_heads, backend=backend, compute_dtype=compute_dtype)
     if "attn2" in params:
         h = layer_norm(params["norm2"], x)
         x = x + attention_module(
@@ -249,6 +285,13 @@ def _frame_axis_attention(
     context: optional (B, S, 1, C_kv) per-pixel cross-attn context."""
     b, f, s, c = x.shape
     hd = c // num_heads
+    if context is not None and context.shape[1] == 1:
+        # Single-frame cross-attention context (the per-pixel CLIP token):
+        # softmax over one key is identically 1 — the output is exactly
+        # to_out(to_v(context)), broadcast over the frame axis by the
+        # caller's residual add. Skips q/k and the einsum chain.
+        v = linear(params["to_v"], context, compute_dtype)  # (B, 1, S, C)
+        return linear(params["to_out"], v, compute_dtype)
     if context is None and "bias" not in params["to_q"]:
         dt = compute_dtype or x.dtype
         wqkv = jnp.concatenate(

@@ -29,6 +29,40 @@ def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> ja
     return out
 
 
+def self_attention_qkv(
+    qkv: jax.Array,
+    num_heads: int,
+    scale: Optional[float] = None,
+    backend: str = "auto",
+) -> jax.Array:
+    """Self-attention on the fused-QKV projection output (B, S, 3C) -> (B, S, C).
+
+    On the TPU spatial hot path this feeds the packed Pallas kernel, whose
+    BlockSpec index maps slice per-head q/k/v tiles straight out of the
+    projection — the q/k/v split, the head fold, and the kernel-layout
+    transposes never touch HBM (round-2 trace: ~130 ms/step of pure layout
+    copies, PERF.md roadmap #3). Everywhere else it splits and takes the
+    generic path."""
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    head_dim = c // num_heads
+    if scale is None:
+        scale = head_dim**-0.5
+    if (
+        backend in ("auto", "pallas")
+        and jax.default_backend() == "tpu"
+        and s >= 512
+        and head_dim % 128 == 0  # Mosaic: lane-dim blocks must be 128-aligned
+        and head_dim <= 128
+    ):
+        from posetraj_tpu.ops.pallas_attention import flash_attention_qkv, qkv_blocks
+
+        if qkv_blocks(s) is not None:
+            return flash_attention_qkv(qkv, num_heads, scale)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    return attention(q, k, v, num_heads, scale, backend=backend)
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,

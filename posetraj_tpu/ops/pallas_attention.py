@@ -546,6 +546,172 @@ def _flash_bwd(q, k, v, out, lse, do, scale, block_q=512, block_k=512, interpret
     return unfold_q(dq), unfold_k(dk), unfold_k(dv)
 
 
+# ---------------------------------------------------------------------------
+# Packed-QKV self-attention: zero layout work outside the kernel
+# ---------------------------------------------------------------------------
+#
+# The fused QKV projection emits (B, S, 3C) with C = heads * head_dim. The
+# split into per-head (B*N, S, H) operands plus the q/v transposes the tq
+# kernel wants cost ~6 HBM round-trips of pure layout traffic per attention
+# (~130 ms/step in the round-2 device trace, PERF.md). Here the kernel reads
+# its per-head q/k/v tiles STRAIGHT out of the projection output via BlockSpec
+# index maps over the concatenated channel axis (head ni of q at column block
+# ni, of k at n+ni, of v at 2n+ni), accumulates transposed in VMEM for full
+# MXU width (see _flash_kernel_tq), and transposes the (H, bq) accumulator to
+# the natural layout on the VMEM write-out — the surrounding graph never sees
+# anything but (B, S, 3C) in and (B, S, C) out.
+
+
+def _flash_kernel_qkv(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                      block_k: int, s_len: int):
+    """One (batch, head, q-block) program, all refs in natural layout:
+    q_ref (1, bq, H); k_ref/v_ref (1, S_pad, H); o_ref (1, bq, H);
+    lse_ref (1, 1, bq) — log2-sum-exp2 residual for the flash backward."""
+    q = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)  # (bq, H)
+    block_q, head_dim = q.shape
+    s_pad = k_ref.shape[1]
+    num_kb = s_pad // block_k
+    needs_mask = s_len != s_pad
+
+    def logits(j):
+        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :]  # (bk, H)
+        s = jax.lax.dot_general(
+            k_blk, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bk, bq)
+        if needs_mask:
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + j * block_k
+            s = jnp.where(row < s_len, s, NEG_INF)
+        return s
+
+    def pv(j, p):
+        # acc^T += V^T P: contraction over block_k at full MXU lane width
+        # (the tq trick) with v in its NATURAL (bk, H) layout — dims picked
+        # via dot_general instead of a pre-transposed operand.
+        v_blk = v_ref[0, pl.ds(j * block_k, block_k), :]  # (bk, H)
+        return jax.lax.dot_general(
+            v_blk, p.astype(v_blk.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H, bq)
+
+    if num_kb == 1:
+        s = logits(0)
+        m = jnp.max(s, axis=0, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=0, keepdims=True)
+        acc = pv(0, p)
+    else:
+        def body(j, carry):
+            m, l, acc = carry
+            s = logits(j)
+            m_new = jnp.maximum(m, jnp.max(s, axis=0, keepdims=True))
+            alpha = jnp.exp2(m - m_new)
+            p = jnp.exp2(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+            return m_new, l_new, acc * alpha + pv(j, p)
+
+        m0 = jnp.full((1, block_q), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((1, block_q), jnp.float32)
+        acc0 = jnp.zeros((head_dim, block_q), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).T.astype(o_ref.dtype)  # VMEM transpose
+    lse_ref[0, 0] = (m + jnp.log2(jnp.maximum(l, 1e-30)))[0]
+
+
+def qkv_blocks(s: int):
+    """(block_q, block_k) for the packed kernel, or None when no config
+    divides S (caller falls back to the padded split-operand path). Mirrors
+    the dispatch sweep in ops/attention.py: long sequences loop 1024-blocks;
+    mid-range runs the whole K extent as one block with the q block sized so
+    the fp32 logits stay inside scoped VMEM."""
+    if s % 8 != 0:
+        return None
+    if s >= 4096:
+        for bq in (1024, 512, 256, 128):
+            if s % bq == 0:
+                return bq, (1024 if s % 1024 == 0 else bq)
+        return None
+    bq_cap = min(s, max(8, 11_000_000 // (4 * s)))
+    for bq in range(bq_cap - bq_cap % 8, 0, -8):  # trace-time-only loop
+        if s % bq == 0:
+            return bq, s
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
+def _flash_qkv_fwd_impl(qkv, num_heads, scale, interpret=None):
+    if interpret is None:  # auto: Mosaic on TPU, interpreter elsewhere (tests)
+        interpret = jax.default_backend() != "tpu"
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    h = c // num_heads
+    blocks = qkv_blocks(s)
+    assert blocks is not None, f"no block config divides S={s}"
+    block_q, block_k = blocks
+    n = num_heads
+
+    grid = (b, n, s // block_q)
+    kernel = functools.partial(_flash_kernel_qkv, scale=scale, block_k=block_k, s_len=s)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, h), lambda bi, ni, qi: (bi, qi, ni)),
+            pl.BlockSpec((1, s, h), lambda bi, ni, qi: (bi, 0, n + ni)),
+            pl.BlockSpec((1, s, h), lambda bi, ni, qi: (bi, 0, 2 * n + ni)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, h), lambda bi, ni, qi: (bi, qi, ni)),
+            pl.BlockSpec((1, 1, block_q), lambda bi, ni, qi: (bi, ni, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, c), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n, s), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def flash_attention_qkv(qkv: jax.Array, num_heads: int, scale: float) -> jax.Array:
+    """Self-attention directly on the fused-QKV projection output.
+
+    qkv: (B, S, 3C) laid out [q | k | v], C = num_heads * head_dim.
+    Returns (B, S, C) in qkv.dtype. No splits/transposes touch HBM on the
+    forward path; the backward (training) splits into per-head operands and
+    reuses the blockwise Pallas flash backward."""
+    out, _ = _flash_qkv_fwd_impl(qkv, num_heads, scale)
+    return out
+
+
+def _fa_qkv_fwd(qkv, num_heads, scale):
+    out, lse = _flash_qkv_fwd_impl(qkv, num_heads, scale)
+    return out, (qkv, out, lse)
+
+
+def _fa_qkv_bwd(num_heads, scale, res, do):
+    qkv, out, lse = res
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    h = c // num_heads
+    unpack = lambda x: x.reshape(b, s, num_heads, h)
+    q, k, v = (unpack(jax.lax.slice_in_dim(qkv, i * c, (i + 1) * c, axis=2))
+               for i in range(3))
+    # _flash_bwd consumes the head-folded lse of _flash_fwd_lse: (B*N, Sq).
+    lse_f = lse.reshape(b * num_heads, s)
+    dq, dk, dv = _flash_bwd(q, k, v, unpack(out), lse_f, unpack(do), scale,
+                            block_q=512, block_k=512,
+                            interpret=jax.default_backend() != "tpu")
+    dqkv = jnp.concatenate(
+        [x.reshape(b, s, c) for x in (dq, dk, dv)], axis=-1
+    )
+    return (dqkv,)
+
+
+flash_attention_qkv.defvjp(_fa_qkv_fwd, _fa_qkv_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention_diff(q, k, v, scale, block_q=512, block_k=1024):
     """Differentiable flash attention: tq forward, blockwise Pallas backward.

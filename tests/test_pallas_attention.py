@@ -140,3 +140,54 @@ def test_flash_backward_matches_xla_grads():
     np.testing.assert_allclose(np.asarray(dq), np.asarray(gq), atol=5e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(gk), atol=5e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(gv), atol=5e-5, rtol=1e-4)
+
+
+def test_flash_qkv_packed_matches_xla():
+    """Packed-QKV kernel: per-head tiles sliced straight out of (B, S, 3C)
+    via BlockSpec index maps must equal the split-operand XLA reference."""
+    from posetraj_tpu.ops.pallas_attention import _flash_qkv_fwd_impl
+
+    rng = np.random.RandomState(11)
+    b, s, n, h = 2, 256, 2, 64
+    c = n * h
+    qkv = jnp.asarray(rng.randn(b, s, 3 * c), jnp.float32)
+    q, k, v = (x.reshape(b, s, n, h) for x in np.split(np.asarray(qkv), 3, axis=-1))
+    ref = _xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), h**-0.5)
+    out, lse = _flash_qkv_fwd_impl(qkv, n, h**-0.5, interpret=True)
+    assert out.shape == (b, s, c)
+    assert lse.shape == (b, n, s)
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(b, s, n, h), np.asarray(ref), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_flash_qkv_backward_matches_xla_grads():
+    """custom_vjp of the packed kernel vs autodiff through the XLA path."""
+    from posetraj_tpu.ops.pallas_attention import flash_attention_qkv
+
+    rng = np.random.RandomState(12)
+    b, s, n, h = 1, 128, 2, 64
+    c = n * h
+    qkv = jnp.asarray(rng.randn(b, s, 3 * c), jnp.float32)
+    scale = h**-0.5
+
+    def loss_ref(qkv):
+        q, k, v = (x.reshape(b, s, n, h) for x in jnp.split(qkv, 3, axis=-1))
+        return jnp.sum(jnp.tanh(_xla_attention(q, k, v, scale)))
+
+    def loss_pallas(qkv):
+        return jnp.sum(jnp.tanh(flash_attention_qkv(qkv, n, scale)))
+
+    g_ref = jax.grad(loss_ref)(qkv)
+    g = jax.grad(loss_pallas)(qkv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=5e-5, rtol=1e-4)
+
+
+def test_qkv_blocks_divide():
+    from posetraj_tpu.ops.pallas_attention import qkv_blocks
+
+    for s in (576, 720, 2304, 2880, 9216, 4608):
+        bq, bk = qkv_blocks(s)
+        assert s % bq == 0 and s % bk == 0, (s, bq, bk)
+        assert 4 * bq * bk <= 16_000_000, (s, bq, bk)  # fp32 logits in VMEM
+    assert qkv_blocks(130) is None  # ragged -> caller falls back
