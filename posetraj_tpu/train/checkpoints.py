@@ -54,11 +54,32 @@ def save_checkpoint(
 
 def restore_checkpoint(path: str, target: Any) -> Any:
     """Restore into the structure of `target` (use meta-init (key=None) params
-    to build a cheap target)."""
+    to build a cheap target).
+
+    When `target` holds committed jax.Arrays (the Trainer's sharded
+    TrainState on a mesh run), restore goes through an abstract
+    ShapeDtypeStruct-with-sharding target, so every restored leaf comes back
+    with the SAME mesh layout (TP-sharded params/moments stay TP-sharded) —
+    a resumed pod run keeps its layouts instead of silently replicating
+    (reference equivalent: accelerate load_state restores into the
+    already-wrapped modules, train_svd_traj_blender_14.py:952-970)."""
     import orbax.checkpoint as ocp
 
+    def abstract(x):
+        if isinstance(x, jax.Array):
+            if isinstance(x.sharding, jax.sharding.SingleDeviceSharding):
+                # Uncommitted leaves (e.g. optax inner counts before step 1)
+                # must stay uncommitted: restoring them as device-committed
+                # single-device arrays would conflict with the mesh-sharded
+                # leaves inside the jitted step. Restore as host numpy.
+                return jax.device_get(x)
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        return x
+
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(os.path.join(path, "state"), jax.device_get(target))
+        return ckptr.restore(
+            os.path.join(path, "state"), jax.tree_util.tree_map(abstract, target)
+        )
 
 
 def export_diffusers(params: Any, model: str, out_path: str) -> str:

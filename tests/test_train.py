@@ -99,6 +99,48 @@ def test_sharded_train_step_on_8_device_mesh(setup):
     assert float(trainer.state.step) == 1
 
 
+def test_resume_into_sharded_state_keeps_layouts(setup, tmp_path):
+    """save -> restore into a MESH trainer -> step must equal an
+    uninterrupted mesh run, and restored leaves must keep their committed
+    TP shardings (VERDICT round-2 missing #5: a wholesale numpy swap silently
+    replicated TP-sharded params/moments on resume)."""
+    from posetraj_tpu.train import checkpoints as ckpt
+
+    bundle, frozen, cn_params = setup
+    mesh = make_mesh(n_data=4, n_model=2)
+    tcfg = TrainConfig(gradient_checkpointing=False, gradient_accumulation_steps=1,
+                       use_spatial_loss=False, lr_warmup_steps=0, learning_rate=1e-3)
+    batch = _batch(b=4)
+
+    # Uninterrupted: two steps.
+    t_ref = Trainer(bundle, tcfg, frozen, cn_params, mesh=mesh, compute_dtype=jnp.float32)
+    t_ref.step(batch)
+    ref_m2 = t_ref.step(batch)
+
+    # Interrupted: one step, save, restore into a FRESH mesh trainer, step.
+    t_a = Trainer(bundle, tcfg, frozen, cn_params, mesh=mesh, compute_dtype=jnp.float32)
+    t_a.step(batch)
+    path = ckpt.save_checkpoint(str(tmp_path), 1, t_a.state)
+
+    t_b = Trainer(bundle, tcfg, frozen, cn_params, mesh=mesh, compute_dtype=jnp.float32)
+    want = jax.tree_util.tree_leaves(t_b.state.controlnet_params)
+    t_b.state = ckpt.restore_checkpoint(path, t_b.state)
+    assert int(t_b.state.step) == 1
+    got = jax.tree_util.tree_leaves(t_b.state.controlnet_params)
+    mismatched = sum(
+        not w.sharding.is_equivalent_to(g.sharding, g.ndim)
+        for w, g in zip(want, got)
+    )
+    assert mismatched == 0, f"{mismatched} leaves lost their sharding"
+    # TP layouts must actually be present (not all-replicated).
+    assert any(
+        not g.sharding.is_fully_replicated for g in got
+    ), "expected at least one TP-sharded leaf"
+
+    m2 = t_b.step(batch)
+    np.testing.assert_allclose(float(m2["loss"]), float(ref_m2["loss"]), rtol=1e-5)
+
+
 def test_sharded_loss_matches_unsharded(setup):
     bundle, frozen, cn_params = setup
     tcfg = TrainConfig(gradient_checkpointing=False, gradient_accumulation_steps=1, use_spatial_loss=False, lr_warmup_steps=0)
