@@ -36,6 +36,7 @@ def export_to_images(frames: Sequence, out_dir: str, prefix: str = "") -> List[s
 def export_to_gif(frames: Sequence, path: str, fps: int = 7) -> str:
     from PIL import Image
 
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     imgs = [Image.fromarray(_to_uint8(f)) for f in frames]
     imgs[0].save(
         path, format="GIF", append_images=imgs[1:], save_all=True,

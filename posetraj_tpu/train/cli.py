@@ -41,6 +41,16 @@ def parse_args(argv=None):
     p.add_argument("--checkpointing_steps", type=int, default=10000)
     p.add_argument("--checkpoints_total_limit", type=int, default=2)
     p.add_argument("--validation_steps", type=int, default=2500)
+    p.add_argument("--validation_folder", default=None,
+                   help="held-out video folder (same layout as --video_folder) for "
+                        "validation renders — the reference validates from a dedicated "
+                        "directory (train_svd_traj_blender_14.py:740-748); falls back "
+                        "to training samples if absent")
+    p.add_argument("--validation_split_file", default=None,
+                   help="VIPSeg val split list (ft stages); default <folder>/val.txt")
+    p.add_argument("--num_validation_samples", type=int, default=2,
+                   help="videos rendered per validation pass "
+                        "(reference --num_validation_images)")
     p.add_argument("--num_inference_steps", type=int, default=25,
                    help="denoise steps for validation renders")
     p.add_argument("--conditioning_dropout_prob", type=float, default=0.1)
@@ -71,19 +81,23 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def build_dataset(args):
+def build_dataset(args, root: str = None, split_file: str = None):
+    """Training dataset by default; pass `root` (+ optional `split_file`) to
+    build the held-out validation dataset over a different folder with the
+    same stage-specific layout."""
     from posetraj_tpu.data import TrajectoryBlenderDataset, TrajectoryVIPSegDataset
 
+    root = root or args.video_folder
     size = (args.height, args.width)
     if args.stage == "pretrain":
         return TrajectoryBlenderDataset(
-            args.video_folder, sample_size=size, frame_length=args.num_frames,
+            root, sample_size=size, frame_length=args.num_frames,
             images_bbox=args.images_bbox, return_bbox=args.bbox_supervision,
             filter_num=args.filter_num, cut_num=args.cut_num, seed=args.seed,
         )
-    split = args.split_file or os.path.join(args.video_folder, "train.txt")
+    split = split_file or args.split_file or os.path.join(root, "train.txt")
     return TrajectoryVIPSegDataset(
-        args.video_folder, split, sample_size=size, frame_length=args.num_frames,
+        root, split, sample_size=size, frame_length=args.num_frames,
         return_cam=(args.stage == "ft_cam"), camera_path=args.cam_path,
         cam_mask_ratio=args.cam_mask_ratio if args.stage == "ft_cam" else 0.0,
         cam_norm=args.cam_norm, seed=args.seed,
@@ -185,6 +199,19 @@ def main(argv=None):
             print(f"resumed from {path} at step {int(trainer.state.step)}")
 
     dataset = build_dataset(args)
+    if args.validation_folder:
+        val_split = args.validation_split_file or (
+            None if args.stage == "pretrain"
+            else os.path.join(args.validation_folder, "val.txt")
+        )
+        val_dataset = build_dataset(args, root=args.validation_folder, split_file=val_split)
+        if hasattr(val_dataset, "cam_mask_ratio"):
+            val_dataset.cam_mask_ratio = 0.0  # no random cam dropout at eval
+    else:
+        # Reference behavior is a dedicated held-out folder; rendering train
+        # samples cannot reveal overfitting — warn but stay usable.
+        print("WARNING: no --validation_folder; validation renders use TRAINING samples")
+        val_dataset = dataset
     global_batch = args.per_device_batch_size * (mesh.shape["data"] if mesh else 1)
     loader = PrefetchLoader(
         dataset, global_batch, num_workers=args.num_workers,
@@ -195,9 +222,9 @@ def main(argv=None):
           f"devices {n_dev}; processes {jax.process_count()}")
 
     def run_validation(current_step: int):
-        """Render held-out samples with the in-training ControlNet and save
-        side-by-side GIFs (the reference's eyeball-validation loop,
-        train_svd_traj_blender_14.py:1418-1495)."""
+        """Render held-out samples (val_dataset, --validation_folder) with the
+        in-training ControlNet and save side-by-side GIFs (the reference's
+        eyeball-validation loop, train_svd_traj_blender_14.py:1418-1495)."""
         from posetraj_tpu.data import export
         from posetraj_tpu.pipeline import SVDControlNetPipeline
 
@@ -212,8 +239,8 @@ def main(argv=None):
         }
         pipe = SVDControlNetPipeline(val_params, bundle)
         vdir = os.path.join(args.output_dir, f"validation-{current_step}")
-        for i in range(min(2, len(dataset))):
-            s = dataset[i]
+        for i in range(min(args.num_validation_samples, len(val_dataset))):
+            s = val_dataset[i]
             image = (s["pixel_values"][:1] + 1.0) / 2.0
             control = (s["trajectories"][None] + 1.0) / 2.0
             out = pipe(

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 
-def _make_fixture(root, n_videos=2, n_frames=6):
+def _make_fixture(root, n_videos=2, n_frames=6, fill=None):
     from PIL import Image
 
     for v in range(n_videos):
@@ -15,7 +15,10 @@ def _make_fixture(root, n_videos=2, n_frames=6):
             d = os.path.join(root, name, sub)
             os.makedirs(d, exist_ok=True)
             for i in range(n_frames + 1):
-                arr = (np.random.RandomState(v * 100 + i).rand(64, 64, 3) * 255).astype(np.uint8)
+                if fill is None:
+                    arr = (np.random.RandomState(v * 100 + i).rand(64, 64, 3) * 255).astype(np.uint8)
+                else:
+                    arr = np.full((64, 64, 3), fill, np.uint8)
                 Image.fromarray(arr).save(os.path.join(d, f"{i:04d}.png"))
 
 
@@ -48,3 +51,45 @@ def test_train_cli_pretrain_smoke(tmp_path):
     assert any(
         f.startswith("controlnet") for f in os.listdir(out / sorted(ckpts)[-1])
     )
+
+
+def test_train_cli_validation_uses_heldout_folder(tmp_path):
+    """--validation_folder: validation GIFs must be rendered from the held-out
+    directory, not the training set (VERDICT round-2 missing #4; reference
+    validates from a dedicated folder, train_svd_traj_blender_14.py:740-748)."""
+    from posetraj_tpu.train.cli import main
+
+    data = tmp_path / "data"
+    val = tmp_path / "val"
+    out = tmp_path / "out"
+    _make_fixture(str(data))  # random pixels (mean ~0.5)
+    _make_fixture(str(val), n_videos=1, fill=255)  # all-white held-out video
+    main([
+        "--stage", "pretrain",
+        "--video_folder", str(data),
+        "--validation_folder", str(val),
+        "--num_validation_samples", "1",
+        "--output_dir", str(out),
+        "--tiny",
+        "--height", "64", "--width", "64",
+        "--num_frames", "2",
+        "--per_device_batch_size", "1",
+        "--gradient_accumulation_steps", "1",
+        "--num_train_epochs", "1",
+        "--max_train_steps", "1",
+        "--checkpointing_steps", "100",
+        "--validation_steps", "1",
+        "--num_inference_steps", "2",
+        "--no_gradient_checkpointing",
+    ])
+    vdirs = [d for d in os.listdir(out) if d.startswith("validation-")]
+    assert vdirs, os.listdir(out)
+    gif = out / vdirs[0] / "sample0.gif"
+    assert gif.exists()
+    # The GIF rows are [GT | control | prediction]; the GT band must be the
+    # held-out folder's all-white video, not a random-pixel training sample.
+    from PIL import Image
+
+    frame = np.asarray(Image.open(gif).convert("RGB"), np.float32) / 255.0
+    gt_band = frame[:, : frame.shape[1] // 3]  # panels concatenate along W
+    assert gt_band.mean() > 0.95, gt_band.mean()
