@@ -61,8 +61,21 @@ def main():
     lat_h, lat_w = height // 8, width // 8
     B = 1  # one video (CFG doubles inside)
 
-    # Meta init (zeros): the bench needs the graph + FLOPs, not entropy.
-    cast = lambda tree: jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)
+    # Meta init, then cheap NONZERO fill: TPU matmul/conv timing is
+    # data-independent today, but zero params would silently flatter any
+    # future data-dependent optimization (sparsity-gated paths etc.) — so
+    # every leaf gets a deterministic small-magnitude pattern (VERDICT
+    # round-2 weak #6). A tiled host-side table keeps fill cost negligible
+    # next to the 1.5B-param HBM write it feeds.
+    fill_tile = (np.sin(np.arange(4096, dtype=np.float32)) * 0.02).astype(np.float32)
+
+    def fill(x):
+        flat = np.broadcast_to(fill_tile, (int(np.ceil(x.size / 4096)), 4096))
+        return jnp.asarray(
+            flat.reshape(-1)[: x.size].reshape(x.shape), dtype
+        )
+
+    cast = lambda tree: jax.tree_util.tree_map(fill, tree)
     params = {
         "unet": cast(unet_m.init_unet(None, bundle.unet)),
         "controlnet": cast(cn.init_controlnet(None, bundle.controlnet)),
@@ -74,11 +87,14 @@ def main():
         height=height, width=width, num_frames=frames, num_inference_steps=steps,
         decode_chunk_size=decode_chunk,
     )
-    image = jnp.zeros((B, height, width, 3), jnp.float32)
-    control = jnp.zeros((B, frames, height, width, 3), jnp.float32)
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.rand(B, height, width, 3), jnp.float32)
+    control = jnp.asarray(rng.rand(B, frames, 8, 8, 3), jnp.float32).repeat(
+        height // 8, axis=2).repeat(width // 8, axis=3)  # cheap nonzero fill
     noises = {
-        "latents": jnp.zeros((B, frames, lat_h, lat_w, 4), jnp.float32),
-        "image_aug": jnp.zeros((B, height, width, 3), jnp.float32),
+        "latents": jnp.asarray(rng.randn(B, frames, lat_h, lat_w, 4), jnp.float32),
+        "image_aug": jnp.asarray(rng.randn(B, 8, 8, 3), jnp.float32).repeat(
+            height // 8, axis=1).repeat(width // 8, axis=2),
     }
     time_ids = jnp.asarray(np.tile(added_time_ids_inference(pcfg), (B, 1)))
 
