@@ -116,6 +116,13 @@ def _flash_kernel_tq(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, 
     num_kb = s_pad // block_k
     needs_mask = s_len != s_pad
 
+    # Softmax denominator on the MXU: 8 ones-rows appended to the V block make
+    # the PV contraction emit sum_k(p) as extra accumulator rows — free work
+    # inside the 64->128 sublane pad — deleting the per-block VPU sum pass
+    # over the logits (the VPU softmax is this kernel's bottleneck).
+    def aug(v):  # (H, bk) -> (H+8, bk)
+        return jnp.concatenate([v, jnp.ones((8, v.shape[1]), v.dtype)], axis=0)
+
     if num_kb == 1:
         s = jax.lax.dot_general(
             k_ref[0], q_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -124,13 +131,13 @@ def _flash_kernel_tq(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, 
             row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             s = jnp.where(row < s_len, s, NEG_INF)
         m = jnp.max(s, axis=0, keepdims=True)
-        p = jnp.exp2(s - m)
-        l = jnp.sum(p, axis=0, keepdims=True)
+        p = jnp.exp2(s - m).astype(v_ref.dtype)
         acc = jax.lax.dot_general(
-            v_ref[0], p.astype(v_ref.dtype), (((1,), (0,)), ((), ())),
+            aug(v_ref[0]), p, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (H, bq)
-        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        )  # (H+8, bq); row H is l = sum_k p
+        o_ref[0] = (acc[:head_dim] / jnp.maximum(acc[head_dim : head_dim + 1], 1e-30)
+                    ).astype(o_ref.dtype)
         return
 
     def body(j, carry):
@@ -138,7 +145,7 @@ def _flash_kernel_tq(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, 
         # computes the next block's logits under this block's softmax) was
         # measured SLOWER on v5e (35.5 -> 58.0 ms at L0): the (bk, bq) fp32
         # carry gets materialized every iteration, drowning any overlap win.
-        m, l, acc = carry
+        m, acc = carry
         k_blk = k_ref[0, pl.ds(j * block_k, block_k), :]  # (bk, H)
         v_blk = v_ref[0, :, pl.ds(j * block_k, block_k)]  # (H, bk)
         s = jax.lax.dot_general(
@@ -150,19 +157,18 @@ def _flash_kernel_tq(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, 
 
         m_new = jnp.maximum(m, jnp.max(s, axis=0, keepdims=True))  # (1, bq)
         alpha = jnp.exp2(m - m_new)
-        p = jnp.exp2(s - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+        p = jnp.exp2(s - m_new).astype(v_blk.dtype)
         acc_new = acc * alpha + jax.lax.dot_general(
-            v_blk, p.astype(v_blk.dtype), (((1,), (0,)), ((), ())),
+            aug(v_blk), p, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (H, bq): contraction over block_k at full MXU width
-        return m_new, l_new, acc_new
+        )  # (H+8, bq): contraction over block_k at full MXU width; row H = l
+        return m_new, acc_new
 
     m0 = jnp.full((1, block_q), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((1, block_q), jnp.float32)
-    acc0 = jnp.zeros((head_dim, block_q), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    acc0 = jnp.zeros((head_dim + 8, block_q), jnp.float32)
+    _, acc = jax.lax.fori_loop(0, num_kb, body, (m0, acc0))
+    o_ref[0] = (acc[:head_dim] / jnp.maximum(acc[head_dim : head_dim + 1], 1e-30)
+                ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))

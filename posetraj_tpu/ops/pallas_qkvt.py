@@ -130,28 +130,39 @@ def ln_qkvt_proj(x, wt, ln_s, ln_b, eps: float = 1e-5, block_s: int = 0,
 def _qkvt_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
     """One (batch, head, q-block) program, ALL refs transposed per-head:
     q_ref (1, H, bq); k_ref/v_ref (1, H, S); o_ref (1, H, bq).
-    exp2 softmax with log2(e) folded into the q scale (see _flash_kernel_tq)."""
+    exp2 softmax with log2(e) folded into the q scale (see _flash_kernel_tq).
+
+    The softmax denominator rides the MXU: a ones-row appended to the V block
+    makes the PV contraction emit sum_k(p) as an extra accumulator row —
+    the sublane pad 64->128 means those rows are FREE MXU work, and the
+    per-block VPU pass that summed p over 8 sublanes disappears (the VPU
+    softmax is this kernel's bottleneck: ~86 TF/s = 43% of bf16 peak with
+    max+exp2+sum; dropping the sum pass cuts per-logit VPU work by ~1/3).
+    The l row also inherits the online alpha-rescale from the accumulator."""
     q_t = (q_ref[0].astype(jnp.float32) * (scale * _LOG2E)).astype(q_ref.dtype)
     head_dim, block_q = q_t.shape
     s_len = k_ref.shape[2]
     num_kb = s_len // block_k
+
+    def aug(v):  # (H, bk) -> (H+8, bk): 8 ones-rows (sublane granularity)
+        return jnp.concatenate([v, jnp.ones((8, v.shape[1]), v.dtype)], axis=0)
 
     if num_kb == 1:
         s = jax.lax.dot_general(
             k_ref[0], q_t, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # (S, bq)
         m = jnp.max(s, axis=0, keepdims=True)
-        p = jnp.exp2(s - m)
-        l = jnp.sum(p, axis=0, keepdims=True)
+        p = jnp.exp2(s - m).astype(v_ref.dtype)
         acc = jax.lax.dot_general(
-            v_ref[0], p.astype(v_ref.dtype), (((1,), (0,)), ((), ())),
+            aug(v_ref[0]), p, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (H, bq)
-        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        )  # (H+8, bq); row H is l = sum_k p
+        o_ref[0] = (acc[:head_dim] / jnp.maximum(acc[head_dim : head_dim + 1], 1e-30)
+                    ).astype(o_ref.dtype)
         return
 
     def body(j, carry):
-        m, l, acc = carry
+        m, acc = carry
         k_blk = k_ref[0, :, pl.ds(j * block_k, block_k)]   # (H, bk)
         v_blk = v_ref[0, :, pl.ds(j * block_k, block_k)]   # (H, bk)
         s = jax.lax.dot_general(
@@ -159,19 +170,18 @@ def _qkvt_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int)
         )  # (bk, bq)
         m_new = jnp.maximum(m, jnp.max(s, axis=0, keepdims=True))
         alpha = jnp.exp2(m - m_new)
-        p = jnp.exp2(s - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+        p = jnp.exp2(s - m_new).astype(v_blk.dtype)
         acc_new = acc * alpha + jax.lax.dot_general(
-            v_blk, p.astype(v_blk.dtype), (((1,), (0,)), ((), ())),
+            aug(v_blk), p, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (H, bq): contraction over block_k at full MXU width
-        return m_new, l_new, acc_new
+        )  # (H+8, bq): contraction over block_k at full MXU width; row H = l
+        return m_new, acc_new
 
     m0 = jnp.full((1, block_q), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((1, block_q), jnp.float32)
-    acc0 = jnp.zeros((head_dim, block_q), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    acc0 = jnp.zeros((head_dim + 8, block_q), jnp.float32)
+    _, acc = jax.lax.fori_loop(0, num_kb, body, (m0, acc0))
+    o_ref[0] = (acc[:head_dim] / jnp.maximum(acc[head_dim : head_dim + 1], 1e-30)
+                ).astype(o_ref.dtype)
 
 
 def qkvt_blocks(s: int):
