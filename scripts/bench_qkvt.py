@@ -19,8 +19,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from posetraj_tpu.utils.compile_cache import setup_compile_cache
+
+setup_compile_cache(min_compile_secs=1.0)
 
 
 def loop_time(fn, x, iters=16):

@@ -18,8 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from posetraj_tpu.utils.compile_cache import setup_compile_cache
+
+setup_compile_cache(min_compile_secs=1.0)
 
 
 def timed(fn, *args, iters=4):

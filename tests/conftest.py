@@ -19,9 +19,15 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: the model-stack tests jit whole forwards; this
-# makes re-runs near-instant.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# makes re-runs near-instant. Host-fingerprinted: cross-host AOT reuse crashes
+# (see posetraj_tpu/utils/compile_cache.py).
+from posetraj_tpu.utils.compile_cache import (
+    setup_compile_cache,
+    setup_cpu_collective_timeouts,
+)
+
+setup_cpu_collective_timeouts()
+setup_compile_cache()
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 

@@ -66,9 +66,13 @@ def main(argv=None) -> int:
     # Persistent compile cache: the env var is only read at jax import time,
     # so it MUST go through jax.config here (same cache as tests/conftest.py —
     # the sharded train step is identical HLO across worker topologies).
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    jax.config.update("jax_compilation_cache_dir", os.path.join(repo, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from posetraj_tpu.utils.compile_cache import (
+        setup_compile_cache,
+        setup_cpu_collective_timeouts,
+    )
+
+    setup_cpu_collective_timeouts()
+    setup_compile_cache(min_compile_secs=1.0)
 
     if args.num_processes > 1:
         from posetraj_tpu.parallel.mesh import initialize_distributed
