@@ -161,25 +161,38 @@ def _qkvt_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int)
                     ).astype(o_ref.dtype)
         return
 
-    def body(j, carry):
-        m, acc = carry
+    def logits(j):
         k_blk = k_ref[0, :, pl.ds(j * block_k, block_k)]   # (H, bk)
-        v_blk = v_ref[0, :, pl.ds(j * block_k, block_k)]   # (H, bk)
-        s = jax.lax.dot_general(
+        return jax.lax.dot_general(
             k_blk, q_t, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # (bk, bq)
-        m_new = jnp.maximum(m, jnp.max(s, axis=0, keepdims=True))
-        alpha = jnp.exp2(m - m_new)
-        p = jnp.exp2(s - m_new).astype(v_blk.dtype)
-        acc_new = acc * alpha + jax.lax.dot_general(
+
+    def pv(j, p):
+        v_blk = v_ref[0, :, pl.ds(j * block_k, block_k)]   # (H, bk)
+        return jax.lax.dot_general(
             aug(v_blk), p, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (H+8, bq): contraction over block_k at full MXU width; row H = l
-        return m_new, acc_new
 
-    m0 = jnp.full((1, block_q), NEG_INF, jnp.float32)
-    acc0 = jnp.zeros((head_dim + 8, block_q), jnp.float32)
-    _, acc = jax.lax.fori_loop(0, num_kb, body, (m0, acc0))
+    # Statically-unrolled STAGGERED K loop (num_kb <= 9 at every SVD shape):
+    # block j+1's logits matmul carries no dependency on block j's softmax
+    # chain, so emitting it before the VPU work of block j lets Mosaic overlap
+    # MXU and VPU — the two are near-parity here (logits 268 MF vs ~3 VPU ops
+    # per logit), which is exactly why the sequential fori_loop version sat at
+    # ~43% of MXU peak. A fori_loop stagger was measured SLOWER (the (bk, bq)
+    # fp32 carry materializes every iteration, PERF.md); unrolling keeps s_next
+    # a register-allocated temp with no carry copies.
+    m = jnp.full((1, block_q), NEG_INF, jnp.float32)
+    acc = jnp.zeros((head_dim + 8, block_q), jnp.float32)
+    s_cur = logits(0)
+    for j in range(num_kb):  # trace-time unroll
+        s_next = logits(j + 1) if j + 1 < num_kb else None
+        m_new = jnp.maximum(m, jnp.max(s_cur, axis=0, keepdims=True))
+        alpha = jnp.exp2(m - m_new)
+        p = jnp.exp2(s_cur - m_new).astype(v_ref.dtype)
+        acc = acc * alpha + pv(j, p)
+        m = m_new
+        s_cur = s_next
     o_ref[0] = (acc[:head_dim] / jnp.maximum(acc[head_dim : head_dim + 1], 1e-30)
                 ).astype(o_ref.dtype)
 
