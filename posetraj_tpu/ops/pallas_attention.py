@@ -140,33 +140,40 @@ def _flash_kernel_tq(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, 
                     ).astype(o_ref.dtype)
         return
 
-    def body(j, carry):
-        # NOTE: a software-pipelined variant (carrying s_{j+1} so the MXU
-        # computes the next block's logits under this block's softmax) was
-        # measured SLOWER on v5e (35.5 -> 58.0 ms at L0): the (bk, bq) fp32
-        # carry gets materialized every iteration, drowning any overlap win.
-        m, acc = carry
+    def logits(j):
         k_blk = k_ref[0, pl.ds(j * block_k, block_k), :]  # (bk, H)
-        v_blk = v_ref[0, :, pl.ds(j * block_k, block_k)]  # (H, bk)
         s = jax.lax.dot_general(
             k_blk, q_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # (bk, bq)
         if needs_mask:
             row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + j * block_k
             s = jnp.where(row < s_len, s, NEG_INF)
+        return s
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=0, keepdims=True))  # (1, bq)
-        alpha = jnp.exp2(m - m_new)
-        p = jnp.exp2(s - m_new).astype(v_blk.dtype)
-        acc_new = acc * alpha + jax.lax.dot_general(
+    def pv(j, p):
+        v_blk = v_ref[0, :, pl.ds(j * block_k, block_k)]  # (H, bk)
+        return jax.lax.dot_general(
             aug(v_blk), p, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (H+8, bq): contraction over block_k at full MXU width; row H = l
-        return m_new, acc_new
 
-    m0 = jnp.full((1, block_q), NEG_INF, jnp.float32)
-    acc0 = jnp.zeros((head_dim + 8, block_q), jnp.float32)
-    _, acc = jax.lax.fori_loop(0, num_kb, body, (m0, acc0))
+    # Statically-unrolled STAGGERED K loop (see pallas_qkvt._qkvt_attn_kernel):
+    # block j+1's logits matmul is independent of block j's softmax chain, so
+    # Mosaic overlaps MXU and VPU. A fori_loop stagger was measured SLOWER
+    # (35.5 -> 58.0 ms at L0: the (bk, bq) fp32 carry materializes every
+    # iteration); trace-time unrolling keeps the staged logits a VMEM temp.
+    # Measured on the packed twin: L0 chain 37.9 -> 30.2 ms.
+    m = jnp.full((1, block_q), NEG_INF, jnp.float32)
+    acc = jnp.zeros((head_dim + 8, block_q), jnp.float32)
+    s_cur = logits(0)
+    for j in range(num_kb):  # trace-time unroll (num_kb <= 9 at SVD shapes)
+        s_next = logits(j + 1) if j + 1 < num_kb else None
+        m_new = jnp.maximum(m, jnp.max(s_cur, axis=0, keepdims=True))  # (1, bq)
+        alpha = jnp.exp2(m - m_new)
+        p = jnp.exp2(s_cur - m_new).astype(v_ref.dtype)
+        acc = acc * alpha + pv(j, p)
+        m = m_new
+        s_cur = s_next
     o_ref[0] = (acc[:head_dim] / jnp.maximum(acc[head_dim : head_dim + 1], 1e-30)
                 ).astype(o_ref.dtype)
 
@@ -317,38 +324,37 @@ def _flash_kernel_tq_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
             s = jnp.where(row < s_len, s, NEG_INF)
         return s
 
+    # Softmax denominator on the MXU + staggered unrolled K loop, exactly as
+    # _flash_kernel_tq; additionally writes lse = m + log2(l) for the flash
+    # backward (l read off the ones-row of the augmented accumulator).
+    def aug(v):  # (H, bk) -> (H+8, bk)
+        return jnp.concatenate([v, jnp.ones((8, v.shape[1]), v.dtype)], axis=0)
+
+    def pv(j, p):
+        v_blk = v_ref[0, :, pl.ds(j * block_k, block_k)]
+        return jax.lax.dot_general(
+            aug(v_blk), p, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (H+8, bq); row H is l = sum_k p
+
     if num_kb == 1:
         s = logits(0)
         m = jnp.max(s, axis=0, keepdims=True)
-        p = jnp.exp2(s - m)
-        l = jnp.sum(p, axis=0, keepdims=True)
-        acc = jax.lax.dot_general(
-            v_ref[0], p.astype(v_ref.dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-        lse_ref[0, 0] = (m + jnp.log2(jnp.maximum(l, 1e-30)))[0]
-        return
-
-    def body(j, carry):
-        m, l, acc = carry
-        s = logits(j)
-        v_blk = v_ref[0, :, pl.ds(j * block_k, block_k)]
-        m_new = jnp.maximum(m, jnp.max(s, axis=0, keepdims=True))
-        alpha = jnp.exp2(m - m_new)
-        p = jnp.exp2(s - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            v_blk, p.astype(v_blk.dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return m_new, l_new, acc_new
-
-    m0 = jnp.full((1, block_q), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((1, block_q), jnp.float32)
-    acc0 = jnp.zeros((head_dim, block_q), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        acc = pv(0, jnp.exp2(s - m).astype(v_ref.dtype))
+    else:
+        m = jnp.full((1, block_q), NEG_INF, jnp.float32)
+        acc = jnp.zeros((head_dim + 8, block_q), jnp.float32)
+        s_cur = logits(0)
+        for j in range(num_kb):  # trace-time unroll, staggered (see tq kernel)
+            s_next = logits(j + 1) if j + 1 < num_kb else None
+            m_new = jnp.maximum(m, jnp.max(s_cur, axis=0, keepdims=True))
+            alpha = jnp.exp2(m - m_new)
+            p = jnp.exp2(s_cur - m_new).astype(v_ref.dtype)
+            acc = acc * alpha + pv(j, p)
+            m = m_new
+            s_cur = s_next
+    l = acc[head_dim : head_dim + 1]
+    o_ref[0] = (acc[:head_dim] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
     lse_ref[0, 0] = (m + jnp.log2(jnp.maximum(l, 1e-30)))[0]
 
 

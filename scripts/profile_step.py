@@ -29,9 +29,9 @@ setup_compile_cache(min_compile_secs=1.0)
 
 BUCKETS = [
     # (bucket, regex over the trace event name)
-    ("pallas attn (qkvt)", r"qkvt_attn|ln_qkvt|out_proj"),
-    ("pallas attn (flash)", r"flash"),
-    ("pallas mlp", r"mlp_kernel|_mlp_|geglu"),
+    ("pallas attn kernel", r"qkvt_attention|flash"),
+    ("pallas attn proj", r"ln_qkvt|out_proj_res"),
+    ("pallas mlp", r"_fused_impl|mlp_kernel|geglu"),
     ("pallas groupnorm", r"group_norm|groupnorm|gn_"),
     ("conv", r"convolution|conv_general"),
     ("matmul (xla)", r"dot|einsum"),
@@ -92,7 +92,7 @@ def main():
         jax.profiler.stop_trace()
 
     # ---- parse trace.json.gz ----
-    paths = sorted(glob.glob(os.path.join(args.out, "**", "trace.json.gz"),
+    paths = sorted(glob.glob(os.path.join(args.out, "**", "*trace.json.gz"),
                              recursive=True), key=os.path.getmtime)
     if not paths:
         print("no trace.json.gz found under", args.out)
@@ -118,8 +118,8 @@ def main():
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         name = e.get("name", "?")
-        if name.startswith(("$", "process_")):
-            continue
+        if name.startswith(("$", "process_", "jit_")):
+            continue  # jit_* is the parent program event enclosing the ops
         dur = e.get("dur", 0) / 1e6 / max(args.iters, 1)  # us -> s, per-iter
         per_op[name] += dur
         per_bucket[bucket_of(name)] += dur
