@@ -339,8 +339,33 @@ def temporal_basic_transformer_block(
     # is_res (dim == time_mix_inner_dim in SVD): residual fused into the FF
     x = feed_forward(params["ff_in"], x, compute_dtype, norm=params["norm_in"], residual=True)
 
-    h = layer_norm(params["norm1"], x)
-    x = x + _frame_axis_attention(params["attn1"], h, num_heads, compute_dtype=compute_dtype)
+    from posetraj_tpu.ops.pallas_temporal import (
+        temporal_attn_sublayer,
+        temporal_attn_sublayer_applicable,
+    )
+    from posetraj_tpu.parallel import spmd
+
+    a1 = params["attn1"]
+    if (
+        "bias" not in a1["to_q"]
+        and spmd.current() is None  # sharded serving keeps the einsum path
+        and temporal_attn_sublayer_applicable(x, num_heads)
+    ):
+        # Transposed-packed temporal sub-layer (ops/pallas_temporal.py):
+        # norm1 + fused QKV + per-pixel frame attention + to_out + residual
+        # in three Pallas kernels — the einsum chain's HBM round-trips gone.
+        dt = compute_dtype or x.dtype
+        wqkv = jnp.concatenate(
+            [a1["to_q"]["kernel"], a1["to_k"]["kernel"], a1["to_v"]["kernel"]], axis=1
+        ).astype(dt)
+        x = temporal_attn_sublayer(
+            x, params["norm1"]["scale"], params["norm1"]["bias"],
+            wqkv, a1["to_out"]["kernel"].astype(dt), a1["to_out"]["bias"].astype(dt),
+            num_heads,
+        )
+    else:
+        h = layer_norm(params["norm1"], x)
+        x = x + _frame_axis_attention(a1, h, num_heads, compute_dtype=compute_dtype)
     if "attn2" in params:
         h = layer_norm(params["norm2"], x)
         x = x + _frame_axis_attention(
