@@ -157,9 +157,9 @@ def feed_forward(params: dict, x: jax.Array, compute_dtype=None, norm: Optional[
             params["proj_out"]["kernel"].astype(dt),
             params["proj_out"]["bias"].astype(dt),
         )
-        import os
+        from posetraj_tpu.configs import kernel_config
 
-        if norm is not None and os.environ.get("POSETRAJ_FUSED_FF_LN", "1") != "0":
+        if norm is not None and kernel_config().fused_ff_ln:
             if residual and x.shape[-1] == params["proj_out"]["kernel"].shape[1]:
                 out = fused_ln_geglu_mlp_res(flat, norm["scale"], norm["bias"], *args)
                 return out.reshape(*x.shape[:-1], out.shape[-1])
@@ -216,7 +216,7 @@ def basic_transformer_block(
     a1 = params["attn1"]
     if (
         backend in ("auto", "pallas")
-        and "bias" not in a1["to_q"]
+        and all("bias" not in a1[k] for k in ("to_q", "to_k", "to_v"))
         and spmd.current() is None  # sharded serving gathers K/V inside attention()
         and attn_sublayer_applicable(x, num_heads)
     ):
@@ -228,7 +228,7 @@ def basic_transformer_block(
             [a1["to_q"]["kernel"], a1["to_k"]["kernel"], a1["to_v"]["kernel"]], axis=1
         ).astype(dt)
         x = attn_sublayer(
-            x, params["norm1"]["scale"], params["norm1"]["bias"],
+            x.astype(dt), params["norm1"]["scale"], params["norm1"]["bias"],
             wqkv, a1["to_out"]["kernel"].astype(dt), a1["to_out"]["bias"].astype(dt),
             num_heads,
         )
@@ -347,7 +347,7 @@ def temporal_basic_transformer_block(
 
     a1 = params["attn1"]
     if (
-        "bias" not in a1["to_q"]
+        all("bias" not in a1[k] for k in ("to_q", "to_k", "to_v"))
         and spmd.current() is None  # sharded serving keeps the einsum path
         and temporal_attn_sublayer_applicable(x, num_heads)
     ):
@@ -359,7 +359,7 @@ def temporal_basic_transformer_block(
             [a1["to_q"]["kernel"], a1["to_k"]["kernel"], a1["to_v"]["kernel"]], axis=1
         ).astype(dt)
         x = temporal_attn_sublayer(
-            x, params["norm1"]["scale"], params["norm1"]["bias"],
+            x.astype(dt), params["norm1"]["scale"], params["norm1"]["bias"],
             wqkv, a1["to_out"]["kernel"].astype(dt), a1["to_out"]["bias"].astype(dt),
             num_heads,
         )

@@ -71,14 +71,33 @@ def _frame_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = jnp.stack(outs, axis=1).astype(o_ref.dtype)  # (H, F, bs)
 
 
-def frame_block_s(s: int) -> int | None:
-    """Pixel-block size for the frame-attention kernel: a 128-aligned divisor
-    of S, or S itself (full lane axis) when S is small; None when S doesn't
-    tile. 512 keeps the fp32 (H, F, bs) temps ~1.8 MB at head_dim 64."""
+# Scoped-VMEM cost model for _frame_attn_kernel, measured on v5e: the
+# compiler reported 26.83 MB at (H=64, F=14, bs=512) = 58.5 bytes per
+# (H*F*bs) block element — 3 double-buffered bf16 input blocks (12 B) +
+# double-buffered bf16 output (4 B) + fp32 q/k/v temps (12 B) + the unrolled
+# softmax temps and the stacked fp32 output (~30 B as Mosaic allocates them).
+# 64 B/elem is that measurement with margin; 12 MB keeps 4 MB headroom under
+# the 16 MB scoped-vmem limit for Mosaic's own scratch.
+_BYTES_PER_BLOCK_ELEM = 64
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def frame_block_s(s: int, head_dim: int, f: int) -> int | None:
+    """Pixel-block size for the frame-attention kernel: the largest
+    128-aligned divisor of S (or S itself as a full lane axis when small)
+    whose estimated scoped-VMEM footprint fits the budget; None when S
+    doesn't tile or nothing fits. BENCH_r03 postmortem: this MUST be sized
+    from bytes, not guessed — bs=512 at (H=64, F=14) needs 26.83 MB."""
+
+    def fits(bs: int) -> bool:
+        return head_dim * f * bs * _BYTES_PER_BLOCK_ELEM <= _VMEM_BUDGET
+
     for bs in (512, 384, 256, 128):
-        if s % bs == 0:
+        if s % bs == 0 and fits(bs):
             return bs
-    return s if s <= 1024 else None
+    if s <= 1024 and fits(s):
+        return s
+    return None
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "num_frames", "scale", "interpret"))
@@ -95,7 +114,7 @@ def frame_attention_t(qkv_t, num_heads: int, num_frames: int, scale: float,
     n = num_heads
     f = num_frames
     s = fs // f
-    bs = frame_block_s(s)
+    bs = frame_block_s(s, h, f)
     assert bs is not None and fs == f * s, (s, f, fs)
 
     x4 = qkv_t.reshape(b, d3, f, s)
@@ -181,11 +200,10 @@ temporal_attn_sublayer.defvjp(_tas_fwd, _tas_bwd)
 def temporal_attn_sublayer_applicable(x, num_heads: int) -> bool:
     """TPU-only; S must tile the pixel-block grid and F*S must tile the
     projection/out-proj kernels (no padding possible in the packed layout)."""
-    import os
-
+    from posetraj_tpu.configs import kernel_config
     from posetraj_tpu.ops.pallas_qkvt import _pick_block_s
 
-    if os.environ.get("POSETRAJ_TEMPORAL_ATTN", "1") == "0":
+    if not kernel_config().temporal_attn:
         return False
     if jax.default_backend() != "tpu":
         return False
@@ -194,7 +212,7 @@ def temporal_attn_sublayer_applicable(x, num_heads: int) -> bool:
         return False
     if f > 16:  # trace-time unroll bound; every SVD config is F<=14
         return False
-    if frame_block_s(s) is None:
+    if frame_block_s(s, c // num_heads, f) is None:
         return False
     fs = f * s
     # kernels 1/3 block the token axis: a proper 128-aligned divisor must

@@ -67,7 +67,9 @@ def main():
         def packed(t):
             return temporal_attn_sublayer(t, ln_s, ln_b, wqkv, wo, bo, n)
 
-        assert temporal_attn_sublayer_applicable(x, n), (level, s, c, n)
+        if not temporal_attn_sublayer_applicable(x, n):
+            print(f"{level} S={s} C={c} N={n}: packed gate OFF (VMEM budget / tiling) — XLA path")
+            continue
         a = np.asarray(cur(x), np.float32)
         b = np.asarray(packed(x), np.float32)
         err = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)

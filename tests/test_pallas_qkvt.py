@@ -120,8 +120,22 @@ def test_qkvt_blocks_tiling():
     assert qkvt_blocks(2880) is None  # 2880 has no 128-aligned divisor
 
 
-def test_applicability_gate_cpu_off():
+def test_applicability_gate_env_off(monkeypatch):
     from posetraj_tpu.ops.pallas_qkvt import attn_sublayer_applicable
 
     x = jnp.zeros((2, 9216, 320))
-    assert not attn_sublayer_applicable(x, 5)  # cpu backend in tests
+    monkeypatch.setenv("POSETRAJ_QKVT_ATTN", "0")
+    assert not attn_sublayer_applicable(x, 5)
+
+
+def test_applicability_gate_backend():
+    import jax as _jax
+
+    from posetraj_tpu.ops.pallas_qkvt import attn_sublayer_applicable
+
+    x = jnp.zeros((2, 9216, 320))
+    applicable = attn_sublayer_applicable(x, 5)
+    if _jax.default_backend() == "tpu":
+        assert applicable  # flagship L0 shape must stay on the packed path
+    else:
+        assert not applicable  # backend gate keeps CPU/GPU on the einsum path

@@ -85,16 +85,42 @@ def test_temporal_sublayer_grads_match_ref():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5, rtol=1e-3)
 
 
-def test_frame_block_s_tiling():
-    from posetraj_tpu.ops.pallas_temporal import frame_block_s
+def test_frame_block_s_vmem_budget():
+    from posetraj_tpu.ops.pallas_temporal import (
+        _BYTES_PER_BLOCK_ELEM,
+        _VMEM_BUDGET,
+        frame_block_s,
+    )
 
-    # S per level at the flagship 576x1024 latent: 9216, 2304, 576, 144
-    for s, want in ((9216, 512), (2304, 384), (576, 576), (1024, 512), (144, 144)):
-        assert frame_block_s(s) == want, s
+    # Flagship (head_dim=64, F=14): only bs=128 fits the scoped-VMEM budget.
+    # BENCH_r03 postmortem: bs=512 at this config needs 26.83 MB > 16 MB limit.
+    for s, want in ((9216, 128), (2304, 128), (1024, 128), (144, 144), (576, None)):
+        assert frame_block_s(s, 64, 14) == want, s
+        if want is not None:
+            assert 64 * 14 * want * _BYTES_PER_BLOCK_ELEM <= _VMEM_BUDGET
+    # Smaller F or head_dim admits larger blocks.
+    assert frame_block_s(9216, 64, 7) == 384
+    assert frame_block_s(9216, 32, 14) == 384
+    # Non-tiling S stays None regardless of budget.
+    assert frame_block_s(9217, 8, 2) is None
 
 
-def test_applicability_gate_cpu_off():
+def test_applicability_gate_env_off(monkeypatch):
     from posetraj_tpu.ops.pallas_temporal import temporal_attn_sublayer_applicable
 
     x = jnp.zeros((2, 14, 9216, 320))
-    assert not temporal_attn_sublayer_applicable(x, 5)  # cpu backend in tests
+    monkeypatch.setenv("POSETRAJ_TEMPORAL_ATTN", "0")
+    assert not temporal_attn_sublayer_applicable(x, 5)
+
+
+def test_applicability_gate_backend():
+    import jax as _jax
+
+    from posetraj_tpu.ops.pallas_temporal import temporal_attn_sublayer_applicable
+
+    x = jnp.zeros((2, 14, 9216, 320))
+    applicable = temporal_attn_sublayer_applicable(x, 5)
+    if _jax.default_backend() == "tpu":
+        assert applicable  # flagship L0 shape must stay on the packed path
+    else:
+        assert not applicable  # backend gate keeps CPU/GPU on the einsum path
