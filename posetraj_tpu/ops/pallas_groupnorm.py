@@ -214,7 +214,7 @@ def fused_group_norm_applicable(x: jax.Array, num_groups: int) -> bool:
     and the 576x1024 decode OOMs 15.75G HBM; the Pallas kernels touch only
     row blocks, so giant activations must dispatch here regardless.
     """
-    import os
+    from posetraj_tpu.configs import kernel_config
 
     if jax.default_backend() != "tpu":
         return False
@@ -223,7 +223,7 @@ def fused_group_norm_applicable(x: jax.Array, num_groups: int) -> bool:
         return False
     if math.prod(x.shape[1:-1]) < 64:
         return False
-    if os.environ.get("POSETRAJ_FUSED_GROUPNORM") == "0":
+    if not kernel_config().fused_groupnorm:
         # Giant activations (VAE decode at production res) dispatch anyway:
         # the XLA path cannot fit in HBM there.
         return math.prod(x.shape) >= (1 << 28)
@@ -285,11 +285,12 @@ def fused_layer_norm_applicable(x: jax.Array) -> bool:
     ran 1.96 ms vs XLA's 0.97 ms at the L0 shape (28,9216,320) — XLA's LN
     fusion chain is already ~2 bandwidth-bound passes and the kernel loses
     lanes to the C=320 padding. Kept (with parity tests) for experiments via
-    POSETRAJ_FUSED_LN=1; the LN fusion that DOES pay is folding LN into the
-    consumer matmul (see pallas_mlp.fused_ln_geglu_mlp)."""
-    import os
+    POSETRAJ_FUSED_LN=1 / KernelConfig(fused_ln=True); the LN fusion that
+    DOES pay is folding LN into the consumer matmul
+    (see pallas_mlp.fused_ln_geglu_mlp)."""
+    from posetraj_tpu.configs import kernel_config
 
-    if os.environ.get("POSETRAJ_FUSED_LN") != "1":
+    if not kernel_config().fused_ln:
         return False
     if jax.default_backend() != "tpu":
         return False

@@ -265,9 +265,9 @@ fused_geglu_mlp.defvjp(_fwd, _bwd)
 def fused_geglu_applicable(x, w1) -> bool:
     """TPU-only; pays off when the gated intermediate is large enough that
     its HBM round-trip dominates (small/tiny shapes stay on XLA)."""
-    import os
+    from posetraj_tpu.configs import kernel_config
 
-    if os.environ.get("POSETRAJ_FUSED_FF", "1") == "0":
+    if not kernel_config().fused_ff:
         return False
     if jax.default_backend() != "tpu":
         return False
@@ -282,6 +282,6 @@ def fused_geglu_applicable(x, w1) -> bool:
     # bm=256 — the earlier "~2% win" was per-dispatch overhead polluting the
     # measurement); L2 runs bm=256 to stay inside scoped VMEM in the full
     # generate() program.
-    if k > 640 and os.environ.get("POSETRAJ_FUSED_FF_WIDE", "1") == "0":
+    if k > 640 and not kernel_config().fused_ff_wide:
         return False
     return m >= 4096 and k <= 1280 and n % 128 == 0 and (n % 512 == 0 or n <= 2048)

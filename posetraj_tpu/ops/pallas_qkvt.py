@@ -357,9 +357,9 @@ attn_sublayer.defvjp(_asl_fwd, _asl_bwd)
 def attn_sublayer_applicable(x, num_heads: int) -> bool:
     """TPU-only; S must tile the packed kernels (no padding possible in the
     packed layout) and head_dim must hit the 64-row sublane granularity."""
-    import os
+    from posetraj_tpu.configs import kernel_config
 
-    if os.environ.get("POSETRAJ_QKVT_ATTN", "1") == "0":
+    if not kernel_config().qkvt_attn:
         return False
     if jax.default_backend() != "tpu":
         return False

@@ -36,10 +36,12 @@ import numpy as np
 from posetraj_tpu.configs import (
     CLIPVisionConfig,
     ControlNetConfig,
+    KernelConfig,
     PipelineConfig,
     SchedulerConfig,
     UNetConfig,
     VAEConfig,
+    use_kernels,
 )
 from posetraj_tpu.diffusion.euler_karras import euler_step, make_schedule
 from posetraj_tpu.models import clip as clip_m
@@ -59,6 +61,9 @@ class ModelBundle:
     clip: CLIPVisionConfig = dataclasses.field(default_factory=CLIPVisionConfig)
     scheduler: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
     fidelity_clip_unnormalized: bool = True  # Q8
+    # Pallas dispatch toggles for every trace made under this bundle;
+    # None = env-seeded defaults (configs.KernelConfig.from_env).
+    kernels: Optional[KernelConfig] = None
 
     @classmethod
     def tiny(cls, variant: str = "base") -> "ModelBundle":
@@ -259,6 +264,19 @@ def generate(
     (injectable for parity tests). Returns (B, F, H, W, 3) fp32 [0,1], or raw
     latents if output_latent.
     """
+    with use_kernels(bundle.kernels):
+        return _generate_impl(
+            params, bundle, pcfg, image, control_video, noises, added_time_ids,
+            sigmas, timesteps, num_frames, camera_cond, bbox_cond, rot_id,
+            output_latent,
+        )
+
+
+def _generate_impl(
+    params, bundle, pcfg, image, control_video, noises, added_time_ids,
+    sigmas, timesteps, num_frames, camera_cond, bbox_cond, rot_id,
+    output_latent,
+):
     compute_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
     clip_emb = encode_image_clip(params, bundle, image, compute_dtype)

@@ -280,10 +280,13 @@ def make_train_step(bundle: ModelBundle, tcfg: TrainConfig, optimizer, compute_d
     propagates for them across steps."""
 
     def step_fn(state: TrainState, frozen_params, batch, rng):
+        from posetraj_tpu.configs import use_kernels
+
         rng = jax.random.fold_in(rng, state.step)
-        (loss, metrics), grads = jax.value_and_grad(edm_training_loss, has_aux=True)(
-            state.controlnet_params, frozen_params, bundle, tcfg, batch, rng, compute_dtype
-        )
+        with use_kernels(bundle.kernels):  # scope Pallas dispatch for the trace
+            (loss, metrics), grads = jax.value_and_grad(edm_training_loss, has_aux=True)(
+                state.controlnet_params, frozen_params, bundle, tcfg, batch, rng, compute_dtype
+            )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.controlnet_params)
         new_params = optax.apply_updates(state.controlnet_params, updates)
         if state.ema_params is not None:
