@@ -25,7 +25,7 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 from posetraj_tpu.data.trajectories import load_cotracker_json
-from posetraj_tpu.ops.rasterize import rasterize_cv2, scale_trajectories
+from posetraj_tpu.ops.rasterize import rasterize_host, scale_trajectories
 
 
 def _load_image(path: str, size_hw: Optional[Tuple[int, int]] = None) -> np.ndarray:
@@ -196,6 +196,7 @@ class TrajectoryVIPSegDataset:
         cam_mask_ratio: float = 0.0,
         cam_norm: bool = False,
         fidelity_bgr_swap: bool = True,
+        rasterizer: str = "cv2",
         seed: Optional[int] = None,
     ):
         self.path = path
@@ -209,6 +210,7 @@ class TrajectoryVIPSegDataset:
         self.cam_mask_ratio = cam_mask_ratio
         self.cam_norm = cam_norm
         self.fidelity_bgr_swap = fidelity_bgr_swap
+        self.rasterizer = rasterizer
         self.seed = 0 if seed is None else seed
         self._epoch = 0
 
@@ -286,8 +288,9 @@ class TrajectoryVIPSegDataset:
         traj = load_cotracker_json(os.path.join(self.traj_dir, f"{name}.json"))
         pts = np.stack([np.asarray(v, np.float32) for v in traj.values()])  # (K, T, 2)
         pts = scale_trajectories(pts[:, start : start + self.frame_length], src_hw, self.sample_size)
-        control = rasterize_cv2(
-            pts, self.frame_length, self.sample_size, fidelity_bgr_swap=self.fidelity_bgr_swap
+        control = rasterize_host(
+            pts, self.frame_length, self.sample_size,
+            fidelity_bgr_swap=self.fidelity_bgr_swap, impl=self.rasterizer,
         ).astype(np.float32)
 
         sample = {

@@ -26,12 +26,14 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_failed
     if _lib is not None or _build_failed:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", _DIR, "-s"], check=True, capture_output=True, timeout=120
-            )
-        except Exception:
+    # Always invoke make: it is a no-op when the .so is fresh and rebuilds it
+    # when rasterize.cpp changed (a stale .so would present an old C ABI).
+    try:
+        subprocess.run(
+            ["make", "-C", _DIR, "-s"], check=True, capture_output=True, timeout=120
+        )
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
             _build_failed = True
             return None
     try:
@@ -42,7 +44,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.rasterize_trajectory_video.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
-        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.rasterize_bbox_video.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
@@ -62,9 +64,12 @@ def rasterize_trajectory_video_native(
     size: Tuple[int, int],
     line_width: float = 3.0,
     circle_radius: float = 3.0,
+    fidelity_bgr_swap: bool = False,
 ) -> np.ndarray:
     """(K, >=num_frames, 2) float trajectories -> (num_frames, H, W, 3) uint8.
-    RGB output (red lines, green endpoints), final frame black."""
+    RGB output (red lines, green endpoints), final frame black.
+    fidelity_bgr_swap reproduces quirk Q5's per-trajectory color alternation
+    (reference dataset.py:754-766) via color algebra in the kernel."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native rasterizer unavailable (no compiler?)")
@@ -75,6 +80,7 @@ def rasterize_trajectory_video_native(
         traj.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         traj.shape[0], num_frames, h, w,
         ctypes.c_float(line_width), ctypes.c_float(circle_radius),
+        ctypes.c_int(1 if fidelity_bgr_swap else 0),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out

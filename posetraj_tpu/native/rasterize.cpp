@@ -9,9 +9,12 @@
 //
 // Geometry follows cv2 semantics: a width-w line covers pixels within
 // distance w/2 of the segment; circles are filled disks of radius r centered
-// on the endpoint. Colors are written RGB; the BGR-swap fidelity quirk (Q5)
-// is applied by the Python wrapper when requested (it is a pure channel
-// permutation per trajectory index).
+// on the endpoint. Colors are written RGB. The BGR-swap fidelity quirk (Q5,
+// reference dataset.py:754-766: cvtColor INSIDE the per-trajectory loop) is
+// reproduced exactly via color algebra when `bgr_swap_quirk` is set: a pixel
+// last written by trajectory k undergoes (num_traj - k) whole-image channel
+// swaps, so its final line color is (0,0,255) when that count is even and
+// (255,0,0) when odd; the green endpoint circles are swap-invariant.
 //
 // Build: make -C posetraj_tpu/native  (or python -m posetraj_tpu.native)
 
@@ -77,10 +80,12 @@ extern "C" {
 // Frame t draws segment t->t+1 for every trajectory (red, width line_width)
 // plus a green filled endpoint circle; the final frame stays black
 // (dataset.py:754-766, run_inference_vipseg_json_repro.py:438-449).
+// bgr_swap_quirk != 0 reproduces Q5's per-trajectory color alternation (see
+// header comment); 0 gives the clean recipe (all lines red).
 void rasterize_trajectory_video(const float* trajectories, int num_traj,
                                 int num_frames, int h, int w,
                                 float line_width, float circle_radius,
-                                uint8_t* out) {
+                                int bgr_swap_quirk, uint8_t* out) {
   std::memset(out, 0, static_cast<size_t>(num_frames) * h * w * 3);
   const float line_r = line_width / 2.f;
   for (int t = 0; t < num_frames - 1; ++t) {
@@ -88,8 +93,10 @@ void rasterize_trajectory_video(const float* trajectories, int num_traj,
     for (int k = 0; k < num_traj; ++k) {
       const float* p0 = trajectories + (static_cast<int64_t>(k) * num_frames + t) * 2;
       const float* p1 = p0 + 2;
+      // Q5 algebra: (num_traj - k) swaps remain after trajectory k draws.
+      const bool swapped = !bgr_swap_quirk || ((num_traj - k) % 2 == 1);
       draw_thick_segment(frame, h, w, p0[0], p0[1], p1[0], p1[1], line_r,
-                         255, 0, 0);
+                         swapped ? 255 : 0, 0, swapped ? 0 : 255);
       draw_filled_circle(frame, h, w, p1[0], p1[1], circle_radius, 0, 255, 0);
     }
   }

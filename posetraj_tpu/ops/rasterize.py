@@ -81,6 +81,43 @@ def rasterize_cv2(
     return np.stack(frames)
 
 
+def rasterize_host(
+    trajectories: np.ndarray,
+    num_frames: int,
+    size: Tuple[int, int],
+    fidelity_bgr_swap: bool = True,
+    impl: str = "cv2",
+) -> np.ndarray:
+    """Host-path rasterizer dispatch for the data loaders.
+
+    impl:
+      * "cv2"    — exact reference parity (pixel-identical to the four cv2
+                   recipes in the reference, incl. quirk Q5). Default: the
+                   loaders must reproduce the reference's training pixels.
+      * "native" — dependency-free C++ kernel (posetraj_tpu/native): same
+                   recipe and Q5 color algebra, distance-based thick-line
+                   geometry (boundary pixels differ from cv2's Bresenham by
+                   <1px). For TPU hosts where loader workers compete with the
+                   runtime for cores.
+      * "auto"   — "native" when the library is available, else "cv2".
+    """
+    if impl == "auto":
+        from posetraj_tpu import native
+
+        impl = "native" if native.is_available() else "cv2"
+    if impl == "native":
+        from posetraj_tpu import native
+
+        return native.rasterize_trajectory_video_native(
+            trajectories, num_frames, size, fidelity_bgr_swap=fidelity_bgr_swap
+        )
+    if impl != "cv2":
+        raise ValueError(f"unknown rasterizer impl: {impl!r}")
+    return rasterize_cv2(
+        trajectories, num_frames, size, fidelity_bgr_swap=fidelity_bgr_swap
+    )
+
+
 # ---------------------------------------------------------------------------
 # XLA mode (device)
 # ---------------------------------------------------------------------------

@@ -67,6 +67,10 @@ def parse_args(argv=None):
     p.add_argument("--cam_path", default=None)
     p.add_argument("--cam_mask_ratio", type=float, default=0.5)
     p.add_argument("--cam_norm", action="store_true")
+    p.add_argument("--rasterizer", default="cv2", choices=("cv2", "native", "auto"),
+                   help="host trajectory rasterizer: cv2 = exact reference parity "
+                        "(quirk Q5); native = dependency-free C++ kernel for TPU "
+                        "hosts (posetraj_tpu/native); auto = native when built")
     p.add_argument("--seed", type=int, default=23123134)
     p.add_argument("--resume_from_checkpoint", default=None)
     p.add_argument("--distributed", action="store_true",
@@ -100,7 +104,7 @@ def build_dataset(args, root: str = None, split_file: str = None):
         root, split, sample_size=size, frame_length=args.num_frames,
         return_cam=(args.stage == "ft_cam"), camera_path=args.cam_path,
         cam_mask_ratio=args.cam_mask_ratio if args.stage == "ft_cam" else 0.0,
-        cam_norm=args.cam_norm, seed=args.seed,
+        cam_norm=args.cam_norm, rasterizer=args.rasterizer, seed=args.seed,
     )
 
 
