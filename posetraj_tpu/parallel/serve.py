@@ -230,6 +230,15 @@ def generate_sharded(
         return latents
 
     # ---- decode: frame chunks over all 8 devices --------------------------
+    # Denoise leaves latents W-sharded over "sp"; decode distributes frame
+    # chunks over ALL devices — a genuine redistribution. The tensor is tiny
+    # (~2 MB fp32 at 576x1024/14f), so one explicit ICI all-gather is the
+    # right move; leaving the reshard implicit makes the SPMD partitioner
+    # rematerialize the reshape chain with a full all-gather anyway, plus an
+    # "involuntary full rematerialization" warning (MULTICHIP_r03 tail).
+    latents = jax.lax.with_sharding_constraint(
+        latents, jax.sharding.NamedSharding(mesh, P())
+    )
     frames = _decode_sharded(params, bundle, latents, pcfg.decode_chunk_size,
                              mesh, compute_dtype)
     return jnp.clip(frames / 2.0 + 0.5, 0.0, 1.0)
