@@ -420,3 +420,15 @@ class TrainConfig:
     checkpoints_total_limit: int = 2
     lr_warmup_steps: int = 500
     lr_scheduler: str = "constant"
+    # Gradient-accumulation buffer dtype: None keeps optax.MultiSteps' fp32;
+    # "bfloat16" halves the persistent accumulator (1.4 GB on the 0.7B
+    # ControlNet) — part of the single-chip 16 GB HBM fit for the flagship
+    # step (each micro-grad is fp32 when summed in; only storage is bf16).
+    grad_accum_dtype: Optional[str] = None
+    # Run the frozen, gradient-free conditioning encodes (VAE frame encode +
+    # CLIP frame-0 embed) as a SEPARATE jitted program feeding latents into
+    # the train step. Keeps the CLIP/VAE weights and their activations out of
+    # the train step's HBM high-water (the two programs never overlap);
+    # numerically identical (same rng keys). Off by default: tiny/CPU tests
+    # exercise the fused path.
+    encode_outside_step: bool = False

@@ -81,6 +81,14 @@ def parse_args(argv=None):
     p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--n_model_shards", type=int, default=1)
     p.add_argument("--no_gradient_checkpointing", action="store_true")
+    # Single-chip 16 GB HBM levers (TrainConfig docstrings; tools/bench_train.py
+    # measures the flagship step with all three on).
+    p.add_argument("--adam_mu_bf16", action="store_true",
+                   help="bf16 Adam moments (stands in for the reference's --use_8bit_adam)")
+    p.add_argument("--grad_accum_dtype", default=None, choices=(None, "float32", "bfloat16"),
+                   help="storage dtype of the grad-accumulation buffer (default: optax fp32)")
+    p.add_argument("--encode_outside_step", action="store_true",
+                   help="run frozen VAE/CLIP conditioning encodes as a separate jitted program")
     p.add_argument("--tiny", action="store_true", help="tiny model bundle (smoke runs)")
     return p.parse_args(argv)
 
@@ -179,6 +187,9 @@ def main(argv=None):
         checkpoints_total_limit=args.checkpoints_total_limit,
         seed=args.seed,
         gradient_checkpointing=not args.no_gradient_checkpointing,
+        adam_mu_bf16=args.adam_mu_bf16,
+        grad_accum_dtype=args.grad_accum_dtype,
+        encode_outside_step=args.encode_outside_step,
     )
 
     n_dev = jax.device_count()  # global across all processes

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -85,6 +85,51 @@ def added_time_ids_train(motion_values: jax.Array, fps: float = 6.0, noise_aug: 
     return jnp.concatenate([fixed, motion_values.reshape(b, 1).astype(jnp.float32)], axis=1)
 
 
+def _vae_encode_frames(frozen_params: Dict, bundle: ModelBundle,
+                       pixel_values: jax.Array, k_vae: jax.Array) -> jax.Array:
+    """Frozen VAE encode of all frames, stochastic sample, x scaling_factor.
+    The encoder is per-frame 2D, so frames run under lax.map in chunks —
+    encoding all B*F frames at once peaks ~4 GB of fp32 conv temps at the
+    flagship 576x320 shape (the single-chip training HBM budget's largest
+    transient); chunked, the peak is one chunk's worth."""
+    b, f = pixel_values.shape[:2]
+    frames_flat = pixel_values.reshape(b * f, *pixel_values.shape[2:])
+    chunk = 2 if (b * f) % 2 == 0 and b * f > 2 else b * f
+    if (b * f) % chunk == 0 and (b * f) // chunk > 1:
+        stacked = frames_flat.reshape(-1, chunk, *frames_flat.shape[1:])
+        mean, logvar = jax.lax.map(
+            lambda fr: vae_m.encode(frozen_params["vae"]["encoder"], bundle.vae, fr,
+                                    compute_dtype=jnp.float32),
+            stacked,
+        )
+        mean = mean.reshape(b * f, *mean.shape[2:])
+        logvar = logvar.reshape(b * f, *logvar.shape[2:])
+    else:
+        mean, logvar = vae_m.encode(frozen_params["vae"]["encoder"], bundle.vae, frames_flat,
+                                    compute_dtype=jnp.float32)
+    lat = vae_m.sample_latent(mean, logvar, k_vae) * bundle.vae.scaling_factor
+    return lat.reshape(b, f, *lat.shape[1:])  # (B,F,h,w,4) fp32
+
+
+def make_encode_conditioning(bundle: ModelBundle, compute_dtype=jnp.bfloat16):
+    """Jitted frozen-encode program for tcfg.encode_outside_step: computes the
+    gradient-free conditioning (VAE latents of every frame + CLIP embed of
+    frame 0) OUTSIDE the train step, so the CLIP/VAE weights (~1.3 GB bf16)
+    and their activations never count against the train step's HBM
+    high-water. rng/step must match the train step's fold so k_vae is the
+    same key the fused path would draw."""
+
+    @jax.jit
+    def encode(enc_params: Dict, pixel_values: jax.Array, rng: jax.Array,
+               step: jax.Array) -> Dict[str, jax.Array]:
+        k_vae = jax.random.split(jax.random.fold_in(rng, step), 5)[0]
+        latents = _vae_encode_frames(enc_params, bundle, pixel_values, k_vae)
+        clip_emb = encode_image_clip_train(enc_params, bundle, pixel_values[:, 0], compute_dtype)
+        return {"latents": latents, "clip_emb": clip_emb}
+
+    return encode
+
+
 def edm_training_loss(
     controlnet_params: Any,
     frozen_params: Dict,
@@ -105,27 +150,13 @@ def edm_training_loss(
     b, f = pixel_values.shape[:2]
     k_vae, k_sigma, k_noise, k_drop, k_frame = jax.random.split(rng, 5)
 
-    # Frozen VAE encode of all frames, stochastic sample, x scaling_factor.
-    # The encoder is per-frame 2D, so frames run under lax.map in chunks —
-    # encoding all B*F frames at once peaks ~4 GB of fp32 conv temps at the
-    # flagship 576x320 shape (the single-chip training HBM budget's largest
-    # transient); chunked, the peak is one chunk's worth.
-    frames_flat = pixel_values.reshape(b * f, *pixel_values.shape[2:])
-    chunk = 2 if (b * f) % 2 == 0 and b * f > 2 else b * f
-    if (b * f) % chunk == 0 and (b * f) // chunk > 1:
-        stacked = frames_flat.reshape(-1, chunk, *frames_flat.shape[1:])
-        mean, logvar = jax.lax.map(
-            lambda fr: vae_m.encode(frozen_params["vae"]["encoder"], bundle.vae, fr,
-                                    compute_dtype=jnp.float32),
-            stacked,
-        )
-        mean = mean.reshape(b * f, *mean.shape[2:])
-        logvar = logvar.reshape(b * f, *logvar.shape[2:])
+    if "latents" in batch:
+        # Precomputed by encode_conditioning (tcfg.encode_outside_step): the
+        # frozen encodes ran as their own program with the SAME k_vae, so this
+        # path is bitwise-identical to the fused one below.
+        latents = batch["latents"]
     else:
-        mean, logvar = vae_m.encode(frozen_params["vae"]["encoder"], bundle.vae, frames_flat,
-                                    compute_dtype=jnp.float32)
-    lat = vae_m.sample_latent(mean, logvar, k_vae) * bundle.vae.scaling_factor
-    latents = lat.reshape(b, f, *lat.shape[1:])  # (B,F,h,w,4) fp32
+        latents = _vae_encode_frames(frozen_params, bundle, pixel_values, k_vae)
 
     noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
     sigmas = rand_cosine_interpolated(k_sigma, (b,), EDMConfig())
@@ -137,7 +168,10 @@ def edm_training_loss(
     c_in, c_out, c_skip = edm_scalings(sig)
     inp = noisy_latents * c_in
 
-    clip_emb = encode_image_clip_train(frozen_params, bundle, pixel_values[:, 0], compute_dtype)
+    if "clip_emb" in batch:
+        clip_emb = batch["clip_emb"]
+    else:
+        clip_emb = encode_image_clip_train(frozen_params, bundle, pixel_values[:, 0], compute_dtype)
     time_ids = added_time_ids_train(batch["motion_values"], noise_aug=tcfg.noise_aug_strength)
 
     # Conditioning dropout for CFG (:1265-1287).
@@ -231,6 +265,50 @@ def _scale_by_adam_bf16(b1: float, b2: float, eps: float) -> optax.GradientTrans
     return optax.GradientTransformation(init, update)
 
 
+class _AccumState(NamedTuple):
+    mini_step: jax.Array  # int32, counts micro-steps within the window
+    inner_state: Any
+    acc: Any  # micro-grad sum, stored in acc_dtype
+
+
+def _multi_steps_acc(
+    inner: optax.GradientTransformation, every: int, acc_dtype
+) -> optax.GradientTransformation:
+    """optax.MultiSteps twin with the persistent accumulator stored in
+    acc_dtype (MultiSteps pins fp32/param dtype). Each micro-grad is summed in
+    fp32 and the sum rounded to acc_dtype once per micro-step; the inner
+    transform sees the fp32 mean on sync boundaries and its state is carried
+    unchanged otherwise (lax.cond, like MultiSteps)."""
+
+    def init(params):
+        acc = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, acc_dtype), params)
+        return _AccumState(jnp.zeros((), jnp.int32), inner.init(params), acc)
+
+    def update(updates, state, params=None):
+        acc = jax.tree_util.tree_map(
+            lambda a, g: (a.astype(jnp.float32) + g.astype(jnp.float32)).astype(acc_dtype),
+            state.acc, updates)
+        is_sync = (state.mini_step + 1) % every == 0
+
+        def sync(_):
+            mean = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32) / every, acc)
+            out, inner_state = inner.update(mean, state.inner_state, params)
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, acc)
+            return out, inner_state, zeros
+
+        def skip(_):
+            zeros_out = jax.tree_util.tree_map(
+                lambda g: jnp.zeros(g.shape, jnp.float32), updates)
+            return zeros_out, state.inner_state, acc
+
+        out, inner_state, acc_next = jax.lax.cond(is_sync, sync, skip, None)
+        return out, _AccumState(state.mini_step + 1, inner_state, acc_next)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
     """AdamW matching the reference flags (train...blender_14.py:1020-1026)
     with warmup + constant LR (:1059-1064) and grad accumulation."""
@@ -268,7 +346,11 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
             ),
         )
     if tcfg.gradient_accumulation_steps > 1:
-        tx = optax.MultiSteps(tx, tcfg.gradient_accumulation_steps)
+        if tcfg.grad_accum_dtype is not None:
+            tx = _multi_steps_acc(
+                tx, tcfg.gradient_accumulation_steps, jnp.dtype(tcfg.grad_accum_dtype))
+        else:
+            tx = optax.MultiSteps(tx, tcfg.gradient_accumulation_steps)
     return tx
 
 
@@ -348,6 +430,14 @@ class Trainer:
         if isinstance(frozen_params.get("vae"), dict) and "decoder" in frozen_params["vae"]:
             frozen_params = dict(frozen_params)
             frozen_params["vae"] = {"encoder": frozen_params["vae"]["encoder"]}
+        self._encode = None
+        if tcfg.encode_outside_step:
+            # Split the frozen stack: CLIP + the VAE encoder feed the separate
+            # conditioning-encode program; ONLY the UNet stays resident in the
+            # train step's arguments (configs.TrainConfig.encode_outside_step).
+            self._encode_params = {k: frozen_params[k] for k in ("vae", "clip")}
+            frozen_params = {"unet": frozen_params["unet"]}
+            self._encode = make_encode_conditioning(bundle, compute_dtype)
         self.frozen_params = frozen_params
         self.rng = jax.random.PRNGKey(tcfg.seed)
         self._step = make_train_step(bundle, tcfg, self.optimizer, compute_dtype=compute_dtype)
@@ -365,6 +455,9 @@ class Trainer:
             p_sh = param_shardings(controlnet_params, mesh)
             params = shard_params(jax.tree_util.tree_map(jnp.array, controlnet_params), p_sh)
             self.frozen_params = shard_params(frozen_params, param_shardings(frozen_params, mesh))
+            if self._encode is not None:
+                self._encode_params = shard_params(
+                    self._encode_params, param_shardings(self._encode_params, mesh))
             opt_state = jax.jit(self.optimizer.init)(params)
             self.state = TrainState(
                 step=jax.device_put(jnp.zeros((), jnp.int32), replicated(mesh)),
@@ -394,5 +487,9 @@ class Trainer:
     def step(self, batch: Dict[str, jax.Array]):
         if self.mesh is not None:
             batch = {k: self._globalize(v) for k, v in batch.items()}
+        if self._encode is not None:
+            encoded = self._encode(
+                self._encode_params, batch["pixel_values"], self.rng, self.state.step)
+            batch = dict(batch, **encoded)
         self.state, metrics = self._step(self.state, self.frozen_params, batch, self.rng)
         return metrics

@@ -237,3 +237,49 @@ def test_bbox_variant_training_loss(setup):
         edm_training_loss, static_argnums=(2, 3), static_argnames=("compute_dtype",)
     )(cn_params, frozen, bundle, tcfg, batch, jax.random.PRNGKey(0), compute_dtype=jnp.float32)
     assert np.isfinite(float(loss))
+
+
+def test_split_encode_matches_fused(setup):
+    """tcfg.encode_outside_step: the separate conditioning-encode program must
+    reproduce the fused path bitwise (same k_vae fold), so the flagship
+    memory lever cannot drift training numerics."""
+    bundle, frozen, cn_params = setup
+    kw = dict(gradient_checkpointing=False, gradient_accumulation_steps=1,
+              use_spatial_loss=False, lr_warmup_steps=0, learning_rate=1e-3,
+              use_ema=False)
+    t_fused = Trainer(bundle, TrainConfig(**kw), frozen, cn_params, compute_dtype=jnp.float32)
+    t_split = Trainer(bundle, TrainConfig(encode_outside_step=True, **kw),
+                      frozen, cn_params, compute_dtype=jnp.float32)
+    assert "clip" not in t_split.frozen_params  # encoders left the step args
+    for _ in range(2):
+        m_f = t_fused.step(_batch())
+        m_s = t_split.step(_batch())
+        np.testing.assert_array_equal(float(m_f["loss"]), float(m_s["loss"]))
+    lf = jax.tree_util.tree_leaves(t_fused.state.controlnet_params)[0]
+    ls = jax.tree_util.tree_leaves(t_split.state.controlnet_params)[0]
+    np.testing.assert_array_equal(np.asarray(lf), np.asarray(ls))
+
+
+def test_bf16_accum_matches_multisteps(setup):
+    """grad_accum_dtype='bfloat16' (and fp32 as the exactness control): the
+    custom accumulation transform follows optax.MultiSteps — updates only on
+    sync boundaries, fp32 control bitwise-equal, bf16 within rounding."""
+    bundle, frozen, cn_params = setup
+    kw = dict(gradient_checkpointing=False, gradient_accumulation_steps=2,
+              use_spatial_loss=False, lr_warmup_steps=0, learning_rate=1e-3,
+              use_ema=False)
+    t_ms = Trainer(bundle, TrainConfig(**kw), frozen, cn_params, compute_dtype=jnp.float32)
+    t_f32 = Trainer(bundle, TrainConfig(grad_accum_dtype="float32", **kw),
+                    frozen, cn_params, compute_dtype=jnp.float32)
+    t_bf16 = Trainer(bundle, TrainConfig(grad_accum_dtype="bfloat16", **kw),
+                     frozen, cn_params, compute_dtype=jnp.float32)
+    leaf = lambda t: np.asarray(jax.tree_util.tree_leaves(t.state.controlnet_params)[0])
+    p0 = leaf(t_ms).copy()
+    b1, b2 = _batch(), {k: v + 0.01 for k, v in _batch().items()}
+    for t in (t_ms, t_f32, t_bf16):
+        t.step(b1)
+        np.testing.assert_array_equal(leaf(t), p0)  # micro-step 1: deferred
+        t.step(b2)
+        assert np.abs(leaf(t) - p0).max() > 0       # sync: applied
+    np.testing.assert_array_equal(leaf(t_f32), leaf(t_ms))
+    np.testing.assert_allclose(leaf(t_bf16), leaf(t_ms), rtol=0, atol=2e-3)
