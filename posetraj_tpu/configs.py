@@ -425,6 +425,13 @@ class TrainConfig:
     # ControlNet) — part of the single-chip 16 GB HBM fit for the flagship
     # step (each micro-grad is fp32 when summed in; only storage is bf16).
     grad_accum_dtype: Optional[str] = None
+    # Compute gradients against a bf16 COPY of the ControlNet params (fp32
+    # masters stay in the optimizer). Standard mixed-precision: cotangents
+    # then flow bf16 end-to-end through the backward, halving the 2.8 GB fp32
+    # grad tree and its backward temps; Adam consumes the fp32-summed mean.
+    # Only meaningful with compute_dtype=bf16 (grads are bf16-rounded anyway
+    # at every use site there); default off for torch-fidelity fp32 runs.
+    grads_bf16: bool = False
     # Run the frozen, gradient-free conditioning encodes (VAE frame encode +
     # CLIP frame-0 embed) as a SEPARATE jitted program feeding latents into
     # the train step. Keeps the CLIP/VAE weights and their activations out of

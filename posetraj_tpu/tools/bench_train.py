@@ -75,6 +75,7 @@ def bench_train_step(
         height=height, width=width, num_frames=frames,
         gradient_accumulation_steps=2, adam_mu_bf16=True,
         use_ema=False, grad_accum_dtype="bfloat16", encode_outside_step=True,
+        grads_bf16=True,
         lr_warmup_steps=0,
     )
     trainer = Trainer(bundle, tcfg, frozen, cn_params, mesh=None,
@@ -130,5 +131,5 @@ def bench_train_step(
         "train_arg_gb": round(arg_gb, 3),
         "train_loss": round(loss, 5),
         "train_config": (f"{height}x{width} f{frames} bs1 accum2 remat "
-                         "bf16-moments bf16-accum no-ema split-encode"),
+                         "bf16-moments bf16-accum bf16-grads no-ema split-encode"),
     }

@@ -89,6 +89,8 @@ def parse_args(argv=None):
                    help="storage dtype of the grad-accumulation buffer (default: optax fp32)")
     p.add_argument("--encode_outside_step", action="store_true",
                    help="run frozen VAE/CLIP conditioning encodes as a separate jitted program")
+    p.add_argument("--grads_bf16", action="store_true",
+                   help="carry cotangents in bf16 (fp32 masters stay in the optimizer)")
     p.add_argument("--tiny", action="store_true", help="tiny model bundle (smoke runs)")
     return p.parse_args(argv)
 
@@ -190,6 +192,7 @@ def main(argv=None):
         adam_mu_bf16=args.adam_mu_bf16,
         grad_accum_dtype=args.grad_accum_dtype,
         encode_outside_step=args.encode_outside_step,
+        grads_bf16=args.grads_bf16,
     )
 
     n_dev = jax.device_count()  # global across all processes

@@ -153,7 +153,7 @@ def edm_training_loss(
     if "latents" in batch:
         # Precomputed by encode_conditioning (tcfg.encode_outside_step): the
         # frozen encodes ran as their own program with the SAME k_vae, so this
-        # path is bitwise-identical to the fused one below.
+        # path matches the fused one below up to cross-program fusion (~1 ULP).
         latents = batch["latents"]
     else:
         latents = _vae_encode_frames(frozen_params, bundle, pixel_values, k_vae)
@@ -365,9 +365,19 @@ def make_train_step(bundle: ModelBundle, tcfg: TrainConfig, optimizer, compute_d
         from posetraj_tpu.configs import use_kernels
 
         rng = jax.random.fold_in(rng, state.step)
+        loss_params = state.controlnet_params
+        if tcfg.grads_bf16:
+            # Differentiate against a bf16 copy (configs.TrainConfig.grads_bf16):
+            # the forward casts every weight to compute_dtype at its use site
+            # anyway, so moving the cast outside value_and_grad changes only
+            # the dtype the cotangents are CARRIED in (bf16, halving the grad
+            # tree + backward temps), not the math of any matmul.
+            loss_params = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+                loss_params)
         with use_kernels(bundle.kernels):  # scope Pallas dispatch for the trace
             (loss, metrics), grads = jax.value_and_grad(edm_training_loss, has_aux=True)(
-                state.controlnet_params, frozen_params, bundle, tcfg, batch, rng, compute_dtype
+                loss_params, frozen_params, bundle, tcfg, batch, rng, compute_dtype
             )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.controlnet_params)
         new_params = optax.apply_updates(state.controlnet_params, updates)

@@ -241,8 +241,9 @@ def test_bbox_variant_training_loss(setup):
 
 def test_split_encode_matches_fused(setup):
     """tcfg.encode_outside_step: the separate conditioning-encode program must
-    reproduce the fused path bitwise (same k_vae fold), so the flagship
-    memory lever cannot drift training numerics."""
+    reproduce the fused path (same k_vae fold) up to cross-program fusion
+    differences (~1 ULP), so the flagship memory lever cannot drift training
+    numerics."""
     bundle, frozen, cn_params = setup
     kw = dict(gradient_checkpointing=False, gradient_accumulation_steps=1,
               use_spatial_loss=False, lr_warmup_steps=0, learning_rate=1e-3,
@@ -254,10 +255,31 @@ def test_split_encode_matches_fused(setup):
     for _ in range(2):
         m_f = t_fused.step(_batch())
         m_s = t_split.step(_batch())
-        np.testing.assert_array_equal(float(m_f["loss"]), float(m_s["loss"]))
+        np.testing.assert_allclose(float(m_f["loss"]), float(m_s["loss"]), rtol=1e-6)
     lf = jax.tree_util.tree_leaves(t_fused.state.controlnet_params)[0]
     ls = jax.tree_util.tree_leaves(t_split.state.controlnet_params)[0]
-    np.testing.assert_array_equal(np.asarray(lf), np.asarray(ls))
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(ls), atol=1e-5)
+
+
+def test_grads_bf16_tracks_fp32(setup):
+    """tcfg.grads_bf16: cotangents carried in bf16 must keep fp32 master
+    params and track the fp32-grad trainer within bf16 rounding after an
+    optimizer step (Adam normalizes, so update magnitude ~lr)."""
+    bundle, frozen, cn_params = setup
+    kw = dict(gradient_checkpointing=False, gradient_accumulation_steps=1,
+              use_spatial_loss=False, lr_warmup_steps=0, learning_rate=1e-3,
+              use_ema=False)
+    t_f32 = Trainer(bundle, TrainConfig(**kw), frozen, cn_params, compute_dtype=jnp.float32)
+    t_bf16 = Trainer(bundle, TrainConfig(grads_bf16=True, **kw),
+                     frozen, cn_params, compute_dtype=jnp.float32)
+    b = _batch()
+    m32, mbf = t_f32.step(b), t_bf16.step(b)
+    assert np.isfinite(float(mbf["loss"]))
+    np.testing.assert_allclose(float(mbf["loss"]), float(m32["loss"]), rtol=2e-2)
+    for l32, lbf in zip(jax.tree_util.tree_leaves(t_f32.state.controlnet_params),
+                        jax.tree_util.tree_leaves(t_bf16.state.controlnet_params)):
+        assert lbf.dtype == l32.dtype  # fp32 masters preserved
+        np.testing.assert_allclose(np.asarray(lbf), np.asarray(l32), atol=3e-3)
 
 
 def test_bf16_accum_matches_multisteps(setup):
