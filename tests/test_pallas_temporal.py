@@ -26,13 +26,13 @@ def test_frame_attention_t_matches_einsum():
     rng = np.random.RandomState(1)
     b, f, s, n, hd = 2, 5, 256, 2, 64
     c = n * hd
-    qkv_t = jnp.asarray(rng.randn(b, 3 * c, f * s), jnp.float32)
-    got = frame_attention_t(qkv_t, n, f, hd**-0.5, interpret=True)
+    qkv4 = jnp.asarray(rng.randn(b, f, 3 * c, s), jnp.float32)
+    got = frame_attention_t(qkv4, n, hd**-0.5, interpret=True)  # (b, f, c, s)
 
-    q, k, v = (qkv_t[:, i * c:(i + 1) * c].reshape(b, n, hd, f, s) for i in range(3))
-    logits = jnp.einsum("bnhqs,bnhks->bnqks", q, k) * hd**-0.5
+    q, k, v = (qkv4[:, :, i * c:(i + 1) * c].reshape(b, f, n, hd, s) for i in range(3))
+    logits = jnp.einsum("bqnhs,bknhs->bnqks", q, k) * hd**-0.5
     p = jax.nn.softmax(logits.astype(jnp.float32), axis=3)
-    want = jnp.einsum("bnqks,bnhks->bnhqs", p, v).reshape(b, c, f * s)
+    want = jnp.einsum("bnqks,bknhs->bqnhs", p, v).reshape(b, f, c, s)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
 
 
