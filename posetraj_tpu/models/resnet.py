@@ -56,10 +56,13 @@ def resnet_block_2d(
     """
     h = group_norm_silu(params["norm1"], x, eps=eps)
     h = conv2d(params["conv1"], h, compute_dtype=compute_dtype)
+    t = None
     if temb is not None and "time_emb_proj" in params:
+        # (N, C) time-emb broadcast folded into norm2's Pallas kernels
+        # (group_norm_silu add=): the standalone h + t[:, None, None, :]
+        # pass over the (N, H, W, C) activation disappears.
         t = linear(params["time_emb_proj"], silu(temb), compute_dtype)
-        h = h + t[:, None, None, :]
-    h = group_norm_silu(params["norm2"], h, eps=eps)
+    h = group_norm_silu(params["norm2"], h, eps=eps, add=t)
     h = conv2d(params["conv2"], h, compute_dtype=compute_dtype)
     if "conv_shortcut" in params:
         x = conv2d(params["conv_shortcut"], x, compute_dtype=compute_dtype)
@@ -101,10 +104,13 @@ def temporal_resnet_block(
     (diffusers TemporalResnetBlock.forward)."""
     h = group_norm_silu(params["norm1"], x, eps=eps)
     h = conv3d_temporal(params["conv1"], h, compute_dtype=compute_dtype)
+    t = None
     if temb is not None and "time_emb_proj" in params:
+        # (B, F, C) per-frame broadcast folded into norm2 (see
+        # resnet_block_2d; norm stats here span the whole video — torch
+        # GroupNorm on (B, C, F, H, W) — and the fold preserves that).
         t = linear(params["time_emb_proj"], silu(temb), compute_dtype)
-        h = h + t[:, :, None, None, :]
-    h = group_norm_silu(params["norm2"], h, eps=eps)
+    h = group_norm_silu(params["norm2"], h, eps=eps, add=t)
     h = conv3d_temporal(params["conv2"], h, compute_dtype=compute_dtype)
     if "conv_shortcut" in params:
         x = conv3d_temporal(params["conv_shortcut"], x, compute_dtype=compute_dtype)

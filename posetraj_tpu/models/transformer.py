@@ -128,7 +128,7 @@ def init_feed_forward(key: jax.Array, dim: int, dim_out: Optional[int] = None, m
 
 
 def feed_forward(params: dict, x: jax.Array, compute_dtype=None, norm: Optional[dict] = None,
-                 residual: bool = False) -> jax.Array:
+                 residual: bool = False, add: Optional[jax.Array] = None) -> jax.Array:
     """GEGLU FF, optionally with the preceding LayerNorm fused in (`norm` =
     the LN params) and the pre-norm residual add fused on (`residual=True`
     returns x + ff(ln(x))) — the block's full FF sub-layer in one kernel.
@@ -138,18 +138,48 @@ def feed_forward(params: dict, x: jax.Array, compute_dtype=None, norm: Optional[
     of round-tripping HBM (in-graph v5e: L0 8.4->6.0 ms, L1 5.7->4.0, L2
     4.5->3.5 per FF), and the fused LN removes the norm's separate
     read+write+fp32-temp pass. Gradients route through the plain XLA
-    formulation (custom_vjp), so training is exact."""
+    formulation (custom_vjp), so training is exact.
+
+    add: optional broadcast vector pre-added to x (the single-token
+    cross-attention fast-path output — a (..., 1, C) shape broadcastable
+    against x). The fused residual path folds it into the kernel, deleting
+    the standalone broadcast-add HBM pass; every other path adds it
+    explicitly (identical math)."""
     from posetraj_tpu.ops.pallas_mlp import (
         fused_geglu_applicable,
         fused_geglu_mlp,
         fused_ln_geglu_mlp,
         fused_ln_geglu_mlp_res,
+        fused_ln_geglu_mlp_res_add,
+        mlp_addend_foldable,
     )
+    from posetraj_tpu.configs import kernel_config
 
+    add3 = None
+    if add is not None:
+        # canonical (G, S_a, C): axes before the last broadcast (==1) axis
+        # are group dims, axes after it are the shared inner extent.
+        # (B*F, 1, C) / (B, F, 1, C) -> (G, 1, C); (B, 1, S, C) -> (B, S, C).
+        ones = [i for i, d in enumerate(add.shape[:-1]) if d == 1]
+        cut = ones[-1] if ones else len(add.shape) - 1
+        g = 1
+        for d in add.shape[:cut]:
+            g *= d
+        add3 = add.reshape(g, -1, add.shape[-1])
     w1 = params["proj_in"]["kernel"]
     if fused_geglu_applicable(x, w1):
         dt = compute_dtype or x.dtype
         k = w1.shape[0]
+        fold = (
+            add3 is not None
+            and norm is not None
+            and residual
+            and x.shape[-1] == params["proj_out"]["kernel"].shape[1]
+            and kernel_config().fused_ff_ln
+            and mlp_addend_foldable(x, add3)
+        )
+        if add is not None and not fold:
+            x = x + add.astype(x.dtype)
         flat = x.reshape(-1, k).astype(dt)
         args = (
             w1.astype(dt),
@@ -157,11 +187,14 @@ def feed_forward(params: dict, x: jax.Array, compute_dtype=None, norm: Optional[
             params["proj_out"]["kernel"].astype(dt),
             params["proj_out"]["bias"].astype(dt),
         )
-        from posetraj_tpu.configs import kernel_config
-
         if norm is not None and kernel_config().fused_ff_ln:
             if residual and x.shape[-1] == params["proj_out"]["kernel"].shape[1]:
-                out = fused_ln_geglu_mlp_res(flat, norm["scale"], norm["bias"], *args)
+                if fold:
+                    out = fused_ln_geglu_mlp_res_add(
+                        flat, norm["scale"], norm["bias"], *args, add3.astype(dt)
+                    )
+                else:
+                    out = fused_ln_geglu_mlp_res(flat, norm["scale"], norm["bias"], *args)
                 return out.reshape(*x.shape[:-1], out.shape[-1])
             out = fused_ln_geglu_mlp(flat, norm["scale"], norm["bias"], *args)
         else:
@@ -170,6 +203,8 @@ def feed_forward(params: dict, x: jax.Array, compute_dtype=None, norm: Optional[
             out = fused_geglu_mlp(flat, *args)
         out = out.reshape(*x.shape[:-1], out.shape[-1])
         return x + out if residual else out
+    if add is not None:
+        x = x + add.astype(x.dtype)
     if norm is not None:
         h = layer_norm(norm, x)
     else:
@@ -235,12 +270,20 @@ def basic_transformer_block(
     else:
         h = layer_norm(params["norm1"], x)
         x = x + attention_module(a1, h, num_heads, backend=backend, compute_dtype=compute_dtype)
+    add = None
     if "attn2" in params:
         h = layer_norm(params["norm2"], x)
-        x = x + attention_module(
+        att = attention_module(
             params["attn2"], h, num_heads, context=context, backend=backend, compute_dtype=compute_dtype
         )
-    return feed_forward(params["ff"], x, compute_dtype, norm=params["norm3"], residual=True)
+        if att.shape != x.shape:
+            # Single-token fast path returned a broadcast vector (B*F, 1, C):
+            # fold its residual add into the FF kernel (feed_forward add=).
+            add = att
+        else:
+            x = x + att
+    return feed_forward(params["ff"], x, compute_dtype, norm=params["norm3"], residual=True,
+                        add=add)
 
 
 # ---------------------------------------------------------------------------
@@ -327,17 +370,22 @@ def temporal_basic_transformer_block(
     num_heads: int,
     context: Optional[jax.Array] = None,
     compute_dtype=None,
+    add: Optional[jax.Array] = None,
 ) -> jax.Array:
     """x: (B*F, S, C) -> same; math identical to the torch block but computed
     in the (B, F, S, C) layout (see _frame_axis_attention).
 
-    context: optional per-pixel cross context shaped (B, F_kv, S, C_kv)."""
+    context: optional per-pixel cross context shaped (B, F_kv, S, C_kv).
+    add: optional (B*F, 1, C) broadcast vector pre-added to x — the
+    frame-position embedding the caller mixes in before each temporal block
+    (transformer_spatio_temporal's `h + emb`); folded into ff_in's kernel."""
     bf, s, c = x.shape
     b = bf // num_frames
     x = x.reshape(b, num_frames, s, c)
 
     # is_res (dim == time_mix_inner_dim in SVD): residual fused into the FF
-    x = feed_forward(params["ff_in"], x, compute_dtype, norm=params["norm_in"], residual=True)
+    x = feed_forward(params["ff_in"], x, compute_dtype, norm=params["norm_in"], residual=True,
+                     add=add.reshape(b, num_frames, 1, c) if add is not None else None)
 
     from posetraj_tpu.ops.pallas_temporal import (
         temporal_attn_sublayer,
@@ -366,12 +414,20 @@ def temporal_basic_transformer_block(
     else:
         h = layer_norm(params["norm1"], x)
         x = x + _frame_axis_attention(a1, h, num_heads, compute_dtype=compute_dtype)
+    add = None
     if "attn2" in params:
         h = layer_norm(params["norm2"], x)
-        x = x + _frame_axis_attention(
+        att = _frame_axis_attention(
             params["attn2"], h, num_heads, context=context, compute_dtype=compute_dtype
         )
-    x = feed_forward(params["ff"], x, compute_dtype, norm=params["norm3"], residual=True)
+        if att.shape != x.shape:
+            # Per-pixel single-frame fast path returned (B, 1, S, C): fold
+            # its residual add into the FF kernel (feed_forward add=).
+            add = att
+        else:
+            x = x + att
+    x = feed_forward(params["ff"], x, compute_dtype, norm=params["norm3"], residual=True,
+                     add=add)
 
     return x.reshape(bf, s, c)
 
@@ -485,9 +541,11 @@ def transformer_spatio_temporal(
         h = basic_transformer_block(
             block_p, h, num_heads, context=context, backend=backend, compute_dtype=compute_dtype
         )
-        h_mix = h + emb
+        # emb (B*F, 1, C) rides the temporal block's ff_in kernel as a folded
+        # addend instead of a standalone h + emb broadcast pass.
         h_mix = temporal_basic_transformer_block(
-            tblock_p, h_mix, num_frames, num_heads, context=time_context, compute_dtype=compute_dtype
+            tblock_p, h, num_frames, num_heads, context=time_context, compute_dtype=compute_dtype,
+            add=emb,
         )
         from posetraj_tpu.models.resnet import alpha_blend
 

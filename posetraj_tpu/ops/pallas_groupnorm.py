@@ -38,13 +38,19 @@ def _membership(c: int, num_groups: int):
     return (ch_ids // (c // num_groups) == g_ids).astype(jnp.float32)  # (C, G)
 
 
-def _stats_kernel(x_ref, o_ref, *, num_groups: int, rb: int, s_len: int):
+def _stats_kernel(x_ref, *rest, num_groups: int, rb: int, s_len: int):
     """x_ref: (1, RB, C); o_ref: (1, NB, 2G) revisited across the row-block
     grid — program (i, j) fills row j with this block's [sum_g, sumsq_g].
     Rows past s_len (padding for non-divisible spatial sizes) are zeroed so
-    they cannot contribute to the statistics."""
+    they cannot contribute to the statistics. Optional add_ref (1, 1, C): a
+    channel vector (constant within the block — per sample, or per frame via
+    the BlockSpec index map) added to x before the statistics, folding the
+    resnet time-embedding broadcast into this kernel's existing HBM pass."""
+    add_ref, o_ref = (rest if len(rest) == 2 else (None, rest[0]))
     j = pl.program_id(1)
     x = x_ref[0].astype(jnp.float32)
+    if add_ref is not None:
+        x = x + add_ref[0, 0].astype(jnp.float32)
     if s_len % rb != 0:
         row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + j * rb
         x = jnp.where(row < s_len, x, 0.0)
@@ -54,9 +60,14 @@ def _stats_kernel(x_ref, o_ref, *, num_groups: int, rb: int, s_len: int):
     o_ref[0, pl.ds(j, 1), :] = jnp.concatenate([s1, s2], axis=-1)
 
 
-def _norm_kernel(x_ref, w_ref, b_ref, o_ref, *, act: bool):
-    """y = x * w + b (+SiLU). x_ref/o_ref: (1, RB, C); w/b: (1, 1, C) per sample."""
-    y = x_ref[0].astype(jnp.float32) * w_ref[0] + b_ref[0]
+def _norm_kernel(x_ref, w_ref, b_ref, *rest, act: bool):
+    """y = (x [+ add]) * w + b (+SiLU). x_ref/o_ref: (1, RB, C); w/b/add:
+    (1, 1, C) per sample (or per frame)."""
+    add_ref, o_ref = (rest if len(rest) == 2 else (None, rest[0]))
+    x = x_ref[0].astype(jnp.float32)
+    if add_ref is not None:
+        x = x + add_ref[0, 0].astype(jnp.float32)
+    y = x * w_ref[0] + b_ref[0]
     if act:
         y = y * jax.nn.sigmoid(y)
     o_ref[0] = y.astype(o_ref.dtype)
@@ -74,6 +85,7 @@ def _fused_group_norm_impl(
     act: bool = False,
     interpret: bool = False,
     psum_axis=None,
+    add: jax.Array | None = None,
 ) -> jax.Array:
     n = x.shape[0]
     c = x.shape[-1]
@@ -85,8 +97,14 @@ def _fused_group_norm_impl(
     # rb must be a sublane multiple (8); non-divisible spatial sizes are row-
     # padded and the padding masked out of the statistics in-kernel.
     cap = max(8, ((1 << 18) // c) & ~7)
-    rb = _largest_divisor(s, cap)
+    # Per-frame addend (N, F, C): row blocks must not straddle frames so the
+    # in-kernel addend is a single channel vector — pick rb from the
+    # per-frame row count (divides s, so no padding either). The caller's
+    # gate (group_norm_silu) guarantees an aligned divisor exists.
+    frames = add.shape[1] if add is not None and add.ndim == 3 else 1
+    rb = _largest_divisor(s // frames, cap)
     if rb % 8 != 0:  # no sublane-aligned divisor: pad rows and mask stats
+        assert frames == 1, "per-frame addend requires an aligned row divisor"
         rb = min(cap, -(-s // 8) * 8)
     s_pad = -(-s // rb) * rb
     if s_pad != s:
@@ -94,14 +112,32 @@ def _fused_group_norm_impl(
     nb = s_pad // rb
     cg = c // num_groups
 
+    if add is not None:
+        # 4D (N, F, 1, C) with (1, 1, 1, C) blocks: the last two block dims
+        # equal the array dims, satisfying Mosaic's (8, 128)-tiling rule for
+        # any frame count (a 3D (N, F, C) layout puts F in the sublane dim,
+        # where a 1-row block is illegal unless F == 1).
+        add4 = add.reshape(n, frames, 1, c)
+        if frames > 1:
+            # rb | rows_per_frame and rb | s (no padding): block j sits fully
+            # inside frame (j*rb) // rows_per_frame.
+            rows_per_frame = s // frames
+            idx = lambda i, j: (i, j * rb // rows_per_frame, 0, 0)
+        else:
+            idx = lambda i, j: (i, 0, 0, 0)
+        add_spec = [pl.BlockSpec((1, 1, 1, c), idx)]
+        add_in = [add4]
+    else:
+        add_spec, add_in = [], []
+
     partials = pl.pallas_call(
         functools.partial(_stats_kernel, num_groups=num_groups, rb=rb, s_len=s),
         grid=(n, nb),
-        in_specs=[pl.BlockSpec((1, rb, c), lambda i, j: (i, j, 0))],
+        in_specs=[pl.BlockSpec((1, rb, c), lambda i, j: (i, j, 0))] + add_spec,
         out_specs=pl.BlockSpec((1, nb, 2 * num_groups), lambda i, j: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, nb, 2 * num_groups), jnp.float32),
         interpret=interpret,
-    )(xf)
+    )(xf, *add_in)
 
     sums = partials.sum(axis=1)  # (N, 2G)
     n_shards = 1
@@ -127,19 +163,29 @@ def _fused_group_norm_impl(
             pl.BlockSpec((1, rb, c), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0)),
-        ],
+        ] + add_spec,
         out_specs=pl.BlockSpec((1, rb, c), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
         interpret=interpret,
-    )(xf, w[:, None, :], b[:, None, :])
+    )(xf, w[:, None, :], b[:, None, :], *add_in)
     return out[:, :s].reshape(x.shape)
 
 
-def _ref_group_norm(x, scale, bias, num_groups, eps, act, psum_axis=None):
+def _broadcast_add(x: jax.Array, add: jax.Array) -> jax.Array:
+    """x (N, *spatial, C) + add (N, C) or (N, F, C) broadcast over the
+    remaining spatial dims (XLA fallback for the in-kernel addend fold)."""
+    lead = add.shape[:-1]
+    shape = lead + (1,) * (x.ndim - len(lead) - 1) + add.shape[-1:]
+    return x + add.reshape(shape).astype(x.dtype)
+
+
+def _ref_group_norm(x, scale, bias, num_groups, eps, act, psum_axis=None, add=None):
     """Plain-XLA groupnorm(+silu), used only for the custom_vjp backward
     (mirrors ops/primitives.group_norm without the Pallas dispatch).
     Differentiating through the psum'd statistics gives the correct sharded
     gradient (psum transposes to psum under shard_map)."""
+    if add is not None:
+        x = _broadcast_add(x, add)
     orig_dtype = x.dtype
     n, c = x.shape[0], x.shape[-1]
     xf = x.astype(jnp.float32).reshape(n, -1, num_groups, c // num_groups)
@@ -169,6 +215,7 @@ def fused_group_norm(
     act: bool = False,
     interpret: bool = False,
     psum_axis=None,
+    add: jax.Array | None = None,
 ) -> jax.Array:
     """(N, ..., C) channels-last GroupNorm with optional fused SiLU.
 
@@ -177,24 +224,53 @@ def fused_group_norm(
     trainable ControlNet's groupnorms sit on the grad path).
 
     psum_axis: mesh axis name for W-sharded spatial statistics
-    (parallel/spmd.py) — the stats kernel's partials are psum'd over it."""
-    return _fused_group_norm_impl(x, scale, bias, num_groups, eps, act, interpret, psum_axis)
+    (parallel/spmd.py) — the stats kernel's partials are psum'd over it.
+
+    add: optional (N, C) per-sample or (N, F, C) per-frame channel vector
+    added to x INSIDE both kernels before the statistics — folds the resnet
+    time-embedding broadcast (reference ResnetBlock2D's `h + temb`,
+    resnet.py) into the norm's existing HBM passes, deleting the standalone
+    read+write broadcast-add pass over the activation."""
+    return _fused_group_norm_impl(
+        x, scale, bias, num_groups, eps, act, interpret, psum_axis, add=add
+    )
 
 
-def _gn_fwd(x, scale, bias, num_groups, eps, act, interpret, psum_axis):
-    return _fused_group_norm_impl(x, scale, bias, num_groups, eps, act, interpret, psum_axis), (
-        x, scale, bias)
+def _gn_fwd(x, scale, bias, num_groups, eps, act, interpret, psum_axis, add=None):
+    return _fused_group_norm_impl(
+        x, scale, bias, num_groups, eps, act, interpret, psum_axis, add=add
+    ), (x, scale, bias, add)
 
 
 def _gn_bwd(num_groups, eps, act, interpret, psum_axis, res, ct):
-    x, scale, bias = res
+    x, scale, bias, add = res
     _, vjp = jax.vjp(
-        lambda *a: _ref_group_norm(*a, num_groups, eps, act, psum_axis), x, scale, bias
+        lambda x_, s_, b_, a_: _ref_group_norm(
+            x_, s_, b_, num_groups, eps, act, psum_axis, a_
+        ),
+        x, scale, bias, add,
     )
     return vjp(ct)
 
 
 fused_group_norm.defvjp(_gn_fwd, _gn_bwd)
+
+
+def addend_foldable(x: jax.Array, add: jax.Array) -> bool:
+    """Whether `add` can ride fused_group_norm's in-kernel addend fold:
+    per-sample (N, C) always folds (row padding is masked after the add);
+    per-frame (N, F, C) needs a sublane-aligned row-block divisor of the
+    per-frame row count so no block straddles a frame boundary."""
+    if add.shape[0] != x.shape[0] or add.shape[-1] != x.shape[-1]:
+        return False
+    if add.ndim == 2:
+        return True
+    if add.ndim != 3 or x.ndim < 3 or add.shape[1] != x.shape[1]:
+        return False
+    c = x.shape[-1]
+    s = math.prod(x.shape[1:-1])
+    cap = max(8, ((1 << 18) // c) & ~7)
+    return _largest_divisor(s // add.shape[1], cap) % 8 == 0
 
 
 def fused_group_norm_applicable(x: jax.Array, num_groups: int) -> bool:

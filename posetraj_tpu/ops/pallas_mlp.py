@@ -43,13 +43,18 @@ def _erf(x):
 
 
 def _mlp_kernel(*refs, n_blocks: int, ln_eps: float = 0.0, with_ln: bool = False,
-                with_res: bool = False):
+                with_res: bool = False, with_add: bool = False):
+    refs = list(refs)
+    x_ref, w1a_ref, w1g_ref, b1a_ref, b1g_ref, w2_ref, b2_ref = refs[:7]
+    rest = refs[7:]
+    ln_s_ref = ln_b_ref = add_ref = None
     if with_ln:
-        (x_ref, w1a_ref, w1g_ref, b1a_ref, b1g_ref, w2_ref, b2_ref,
-         ln_s_ref, ln_b_ref, o_ref, acc_ref) = refs
-    else:
-        x_ref, w1a_ref, w1g_ref, b1a_ref, b1g_ref, w2_ref, b2_ref, o_ref, acc_ref = refs
-        ln_s_ref = ln_b_ref = None
+        ln_s_ref, ln_b_ref = rest[:2]
+        rest = rest[2:]
+    if with_add:
+        add_ref = rest[0]
+        rest = rest[1:]
+    o_ref, acc_ref = rest
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -57,6 +62,14 @@ def _mlp_kernel(*refs, n_blocks: int, ln_eps: float = 0.0, with_ln: bool = False
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     x = x_ref[...]
+    if add_ref is not None:
+        # Broadcast addend fold (the single-token cross-attention fast-path
+        # vector, models/transformer.py): x' = x + add becomes this kernel's
+        # input AND its residual — the standalone broadcast-add pass over the
+        # activation never exists. add block: (1, bm, K) row-wise or
+        # (1, 1, K) broadcast.
+        x = x + add_ref[0].astype(x.dtype)
+    x_res = x
     if ln_s_ref is not None:
         # LayerNorm prologue: K is never blocked, so each (bm, K) x-block
         # holds complete rows — row stats come free in VMEM, and the whole
@@ -88,9 +101,10 @@ def _mlp_kernel(*refs, n_blocks: int, ln_eps: float = 0.0, with_ln: bool = False
         out = acc_ref[...] + b2_ref[...].astype(jnp.float32)
         if with_res:
             # Transformer blocks always compute x + ff(ln(x)): the residual
-            # IS the kernel's raw input block, already in VMEM — fusing the
-            # add deletes a whole read+read+write elementwise pass per FF.
-            out = out + x_ref[...].astype(jnp.float32)
+            # IS the kernel's raw input block (plus the folded addend),
+            # already in VMEM — fusing the add deletes a whole
+            # read+read+write elementwise pass per FF.
+            out = out + x_res.astype(jnp.float32)
         o_ref[...] = out.astype(o_ref.dtype)
 
 
@@ -98,27 +112,30 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pick_block_m(k: int) -> int:
+    # In-graph fori_loop sweep on v5e (dispatch-overhead-free): narrow
+    # models peak at bm=1024 (L0 106 TF/s; L1 drops to 768 — the LN
+    # prologue's fp32 row temps push bm=1024 past scoped VMEM at K=640);
+    # the wide L2 model (K=1280) exceeds scoped VMEM at bm>=512 inside
+    # the full generate() program, and bm=256 still beats XLA.
+    if k <= 384:
+        return 1024
+    if k <= 640:
+        return 768
+    return 256
+
+
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "interpret", "ln_eps", "residual"))
 def _fused_impl(x, w1, b1, w2, b2, ln_s=None, ln_b=None, ln_eps: float = 1e-5,
                 block_m: int = 0, block_n: int = 0, interpret: bool = False,
-                residual: bool = False):
+                residual: bool = False, add=None):
     m, k = x.shape
     n2 = w1.shape[1]
     n = n2 // 2
     k_out = w2.shape[1]
 
     if block_m == 0:
-        # In-graph fori_loop sweep on v5e (dispatch-overhead-free): narrow
-        # models peak at bm=1024 (L0 106 TF/s; L1 drops to 768 — the LN
-        # prologue's fp32 row temps push bm=1024 past scoped VMEM at K=640);
-        # the wide L2 model (K=1280) exceeds scoped VMEM at bm>=512 inside
-        # the full generate() program, and bm=256 still beats XLA.
-        if k <= 384:
-            block_m = 1024
-        elif k <= 640:
-            block_m = 768
-        else:
-            block_m = 256
+        block_m = _pick_block_m(k)
     if block_n == 0:
         # Keep w1a/w1g/w2 blocks + fp32 intermediates comfortably inside VMEM:
         # wide models (L2: K=1280, N=5120) take 512-column blocks; the narrow
@@ -162,11 +179,32 @@ def _fused_impl(x, w1, b1, w2, b2, ln_s=None, ln_b=None, ln_eps: float = 1e-5,
             pl.BlockSpec((1, k), lambda i, j: (0, 0)),
         ]
         inputs += [ln_s.reshape(1, k), ln_b.reshape(1, k)]
+    if add is not None:
+        # add (G, S_a, K): flat row r reads add[r // (m // G), r % S_a] — a
+        # per-sample vector (S_a == 1) or a per-pixel slab shared across an
+        # outer repeat axis (S_a > 1, e.g. the temporal block's (B, S, C)
+        # vector shared over frames). Constraints checked by
+        # mlp_addend_foldable: no row padding, blocks never straddle the
+        # S_a extent.
+        g, s_a, _ = add.shape
+        rows_per_outer = m // g
+        assert m % block_m == 0 and m % g == 0 and rows_per_outer % s_a == 0, (m, g, s_a)
+        assert rows_per_outer % block_m == 0, (rows_per_outer, block_m)
+        assert s_a == 1 or s_a % block_m == 0, (s_a, block_m)
+        ba = min(block_m, s_a)
+        if s_a == 1:
+            add_idx = lambda i, j: (i * block_m // rows_per_outer, 0, 0)
+        else:
+            add_idx = lambda i, j: (
+                i * block_m // rows_per_outer, (i * block_m % s_a) // block_m, 0
+            )
+        in_specs += [pl.BlockSpec((1, ba, k), add_idx)]
+        inputs += [add]
     if residual:
         assert k_out == k, (k_out, k)
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, n_blocks=n_blocks, ln_eps=ln_eps, with_ln=with_ln,
-                          with_res=residual),
+                          with_res=residual, with_add=add is not None),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((block_m, k_out), lambda i, j: (i, 0)),
@@ -219,6 +257,15 @@ def _ref_ln_geglu_mlp_res(x, ln_s, ln_b, w1, b1, w2, b2, eps=1e-5):
     return x + _ref_ln_geglu_mlp(x, ln_s, ln_b, w1, b1, w2, b2, eps)
 
 
+def _broadcast_add_rows(x, add):
+    """x (M, K) + add (G, S_a, K) where row r takes add[r // (M//G), r % S_a]
+    (XLA formulation of the kernel's addend fold, used by the backward)."""
+    m, k = x.shape
+    g, s_a, _ = add.shape
+    rep = m // (g * s_a)
+    return (x.reshape(g, rep, s_a, k) + add[:, None].astype(x.dtype)).reshape(m, k)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def fused_ln_geglu_mlp_res(x, ln_s, ln_b, w1, b1, w2, b2, eps=1e-5):
     """out = x + geglu_mlp(layer_norm(x)) — the full pre-norm FF sub-layer in
@@ -239,6 +286,63 @@ def _ln_res_bwd(eps, res, ct):
 
 
 fused_ln_geglu_mlp_res.defvjp(_ln_res_fwd, _ln_res_bwd)
+
+
+def _ref_ln_geglu_mlp_res_add(x, ln_s, ln_b, w1, b1, w2, b2, add, eps=1e-5):
+    xa = _broadcast_add_rows(x, add)
+    return xa + _ref_ln_geglu_mlp(xa, ln_s, ln_b, w1, b1, w2, b2, eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def fused_ln_geglu_mlp_res_add(x, ln_s, ln_b, w1, b1, w2, b2, add, eps=1e-5):
+    """out = (x+a) + geglu_mlp(layer_norm(x+a)) — the FF sub-layer with a
+    broadcast addend folded in. `a` is the single-token cross-attention
+    fast-path vector (models/transformer.py attention_module /
+    _frame_axis_attention: softmax over one CLIP token is identically 1, so
+    the whole attn2 sub-layer reduces to x + to_out(to_v(ctx)) broadcast).
+    Folding that broadcast here deletes its standalone read+write pass over
+    the activation. add: (G, S_a, K), see _broadcast_add_rows / _fused_impl."""
+    return _fused_impl(x, w1, b1, w2, b2, ln_s=ln_s, ln_b=ln_b, ln_eps=eps,
+                       residual=True, add=add)
+
+
+def _ln_res_add_fwd(x, ln_s, ln_b, w1, b1, w2, b2, add, eps):
+    return (
+        _fused_impl(x, w1, b1, w2, b2, ln_s=ln_s, ln_b=ln_b, ln_eps=eps,
+                    residual=True, add=add),
+        (x, ln_s, ln_b, w1, b1, w2, b2, add),
+    )
+
+
+def _ln_res_add_bwd(eps, res, ct):
+    _, vjp = jax.vjp(lambda *a: _ref_ln_geglu_mlp_res_add(*a, eps=eps), *res)
+    return vjp(ct)
+
+
+fused_ln_geglu_mlp_res_add.defvjp(_ln_res_add_fwd, _ln_res_add_bwd)
+
+
+def mlp_addend_foldable(x, add) -> bool:
+    """Whether `add` (broadcast vector, canonical 3D (G, S_a, C)) can ride
+    the fused FF kernel's in-kernel addend: rows must tile block_m exactly
+    (no padding — padded blocks would index past the addend), every row
+    block must sit inside one S_a extent, and the repeat factor must be
+    integral."""
+    k = x.shape[-1]
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    g, s_a = add.shape[0], add.shape[-2] if add.ndim > 2 else 1
+    if add.shape[-1] != k or m % max(g, 1) != 0:
+        return False
+    bm = _pick_block_m(k)
+    rows_per_outer = m // g
+    return (
+        m % bm == 0
+        and rows_per_outer % s_a == 0
+        and rows_per_outer % bm == 0  # no block straddles an outer group
+        and (s_a == 1 or s_a % bm == 0)
+    )
 
 
 @jax.custom_vjp

@@ -163,21 +163,39 @@ def group_norm(params: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e
 
 
 def group_norm_silu(
-    params: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e-5, act: bool = True
+    params: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e-5, act: bool = True,
+    add: jax.Array | None = None,
 ) -> jax.Array:
     """GroupNorm with (optionally) fused SiLU: dispatches to the single-pass
     Pallas kernel on TPU when the per-sample block fits VMEM, else the XLA
     path. Resnet blocks always normalize-then-silu, so fusing both into one
-    HBM pass saves ~2ms per call at UNet level-0 shapes on v5e."""
+    HBM pass saves ~2ms per call at UNet level-0 shapes on v5e.
+
+    add: optional (N, C) per-sample or (N, F, C) per-frame channel vector
+    added to x before the norm — the resnet time-embedding broadcast. The
+    Pallas path folds it into the kernels' existing HBM passes (the
+    standalone broadcast-add is a full read+write over the activation that
+    XLA cannot fuse into the custom calls); other paths add it explicitly."""
     from posetraj_tpu.parallel import spmd
-    from posetraj_tpu.ops.pallas_groupnorm import fused_group_norm, fused_group_norm_applicable
+    from posetraj_tpu.ops.pallas_groupnorm import (
+        _broadcast_add,
+        addend_foldable,
+        fused_group_norm,
+        fused_group_norm_applicable,
+    )
 
     if fused_group_norm_applicable(x, num_groups):
+        if add is not None and not addend_foldable(x, add):
+            x = _broadcast_add(x, add)
+            add = None
         ctx = spmd.current()
         psum_axis = ctx.sp_axis if (ctx is not None and ctx.sharded_w) else None
         return fused_group_norm(
-            x, params["scale"], params["bias"], num_groups, eps, act, psum_axis=psum_axis
+            x, params["scale"], params["bias"], num_groups, eps, act,
+            psum_axis=psum_axis, add=add,
         )
+    if add is not None:
+        x = _broadcast_add(x, add)
     h = group_norm(params, x, num_groups, eps)
     return silu(h) if act else h
 

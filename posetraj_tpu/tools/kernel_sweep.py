@@ -43,6 +43,7 @@ TARGETS = (
     ("posetraj_tpu.ops.pallas_temporal", "temporal_attn_sublayer"),
     ("posetraj_tpu.ops.pallas_mlp", "fused_ln_geglu_mlp"),
     ("posetraj_tpu.ops.pallas_mlp", "fused_ln_geglu_mlp_res"),
+    ("posetraj_tpu.ops.pallas_mlp", "fused_ln_geglu_mlp_res_add"),
     ("posetraj_tpu.ops.pallas_mlp", "fused_geglu_mlp"),
     ("posetraj_tpu.ops.pallas_groupnorm", "fused_group_norm"),
     ("posetraj_tpu.ops.pallas_groupnorm", "fused_layer_norm"),

@@ -66,6 +66,52 @@ def test_fused_group_norm_matches_xla():
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-5, rtol=2e-5)
 
 
+def test_fused_group_norm_addend_fold():
+    """In-kernel addend fold (resnet time-emb broadcast): per-sample (N, C)
+    and per-frame (N, F, C) addends must match add-then-normalize, forward
+    and backward."""
+    from posetraj_tpu.ops.pallas_groupnorm import addend_foldable, fused_group_norm
+    from posetraj_tpu.ops.primitives import group_norm, silu
+
+    rng = np.random.RandomState(3)
+    params = {"scale": jnp.asarray(rng.rand(64), jnp.float32),
+              "bias": jnp.asarray(rng.randn(64), jnp.float32)}
+
+    # per-sample (N, C) over (N, H, W, C) — resnet_block_2d norm2
+    x = jnp.asarray(rng.randn(2, 8, 8, 64), jnp.float32)
+    t = jnp.asarray(rng.randn(2, 64), jnp.float32)
+    assert addend_foldable(x, t)
+    expect = silu(group_norm(params, x + t[:, None, None, :], 32, 1e-5))
+    got = fused_group_norm(x, params["scale"], params["bias"], 32, 1e-5,
+                           act=True, interpret=True, add=t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-5, rtol=2e-5)
+
+    # per-frame (B, F, C) over (B, F, H, W, C) — temporal_resnet_block norm2
+    # (stats span the whole video: torch GroupNorm on (B, C, F, H, W))
+    x5 = jnp.asarray(rng.randn(2, 3, 8, 8, 64), jnp.float32)
+    t5 = jnp.asarray(rng.randn(2, 3, 64), jnp.float32)
+    assert addend_foldable(x5, t5)
+    expect5 = silu(group_norm(params, x5 + t5[:, :, None, None, :], 32, 1e-5))
+    got5 = fused_group_norm(x5, params["scale"], params["bias"], 32, 1e-5,
+                            act=True, interpret=True, add=t5)
+    np.testing.assert_allclose(np.asarray(got5), np.asarray(expect5), atol=2e-5, rtol=2e-5)
+
+    # gradients flow to x AND the addend through the custom_vjp
+    def loss(x_, t_):
+        y = fused_group_norm(x_, params["scale"], params["bias"], 32, 1e-5,
+                             act=True, interpret=True, add=t_)
+        return jnp.sum(y * y)
+
+    def loss_ref(x_, t_):
+        y = silu(group_norm(params, x_ + t_[:, None, None, :], 32, 1e-5))
+        return jnp.sum(y * y)
+
+    gx, gt = jax.grad(loss, argnums=(0, 1))(x, t)
+    ex, et = jax.grad(loss_ref, argnums=(0, 1))(x, t)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(ex), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(et), atol=1e-4, rtol=1e-4)
+
+
 @pytest.mark.parametrize("s,h,n", [(128, 64, 2), (300, 64, 1), (576, 64, 1), (1024, 128, 2)])
 def test_flash_tq_matches_xla(s, h, n):
     """Transposed-accumulator kernel parity (interpret mode)."""
