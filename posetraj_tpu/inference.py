@@ -172,7 +172,16 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=23123134)
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--tiny", action="store_true", help="tiny bundle for smoke runs")
+    p.add_argument("--platform", choices=["default", "cpu"], default="default",
+                   help="force the jax platform. This image's sitecustomize pins "
+                        "the tunneled TPU regardless of JAX_PLATFORMS, so CPU smoke "
+                        "runs need this flag (it must win before backend init)")
     args = p.parse_args(argv)
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     variant = "cam" if args.mode == "vipseg_cam" else ("bbox" if args.bbox else "base")
     pipe = build_pipeline(args.checkpoint, args.svd_root, variant, tiny=args.tiny)

@@ -95,7 +95,7 @@ def _check_divisible(pcfg: PipelineConfig, bundle: ModelBundle, num_frames: int,
     jax.jit,
     static_argnames=("bundle", "pcfg", "num_frames", "mesh", "output_latent"),
 )
-def generate_sharded(
+def _generate_sharded_jit(
     params: Dict,
     bundle: ModelBundle,
     pcfg: PipelineConfig,
@@ -118,6 +118,40 @@ def generate_sharded(
     ("cfg", "sp"). Numerics match the unsharded program up to reduction-order
     float differences (GroupNorm psum, gathered-KV softmax).
     """
+    from posetraj_tpu.configs import use_kernels
+
+    with use_kernels(bundle.kernels):
+        return _generate_sharded_impl(
+            params, bundle, pcfg, image, control_video, noises,
+            added_time_ids, sigmas, timesteps, num_frames, mesh,
+            camera_cond, bbox_cond, rot_id, output_latent,
+        )
+
+
+def generate_sharded(params: Dict, bundle: ModelBundle, *args, **kwargs) -> jax.Array:
+    """Public entry: `_generate_sharded_jit` with kernel toggles resolved into
+    the static bundle (pipeline.resolve_kernels — a toggle flip is a retrace,
+    never a stale executable)."""
+    from posetraj_tpu.pipeline.svd_controlnet import resolve_kernels
+
+    return _generate_sharded_jit(params, resolve_kernels(bundle), *args, **kwargs)
+
+
+def _lower_generate_sharded(params, bundle, *a, **k):
+    from posetraj_tpu.pipeline.svd_controlnet import resolve_kernels
+
+    return _generate_sharded_jit.lower(params, resolve_kernels(bundle), *a, **k)
+
+
+generate_sharded.lower = _lower_generate_sharded
+generate_sharded.__wrapped_jit__ = _generate_sharded_jit  # tests: retrace observability
+
+
+def _generate_sharded_impl(
+    params, bundle, pcfg, image, control_video, noises, added_time_ids,
+    sigmas, timesteps, num_frames, mesh,
+    camera_cond, bbox_cond, rot_id, output_latent,
+):
     assert image.shape[0] == 1, "single-video serving path requires batch 1"
     _check_divisible(pcfg, bundle, num_frames, mesh)
     n_cfg = mesh.shape["cfg"]

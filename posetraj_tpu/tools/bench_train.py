@@ -24,15 +24,12 @@ import numpy as np
 
 
 def _fill_tree(tree, dtype):
-    """Deterministic small-magnitude nonzero fill (same rationale as bench.py:
-    zero params would flatter any data-dependent fast path)."""
-    tile = (np.sin(np.arange(4096, dtype=np.float32)) * 0.02).astype(np.float32)
+    """Deterministic small-magnitude nonzero fill (tools/fill.py: zero params
+    would flatter any data-dependent fast path; views + shape reuse keep the
+    1.5B-param fill out of the driver's bench budget)."""
+    from posetraj_tpu.tools.fill import fill_params
 
-    def fill(x):
-        flat = np.broadcast_to(tile, (int(np.ceil(x.size / 4096)), 4096))
-        return jnp.asarray(flat.reshape(-1)[: x.size].reshape(x.shape), dtype)
-
-    return jax.tree_util.tree_map(fill, tree)
+    return fill_params(tree, dtype)
 
 
 def bench_train_step(

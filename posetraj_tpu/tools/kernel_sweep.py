@@ -21,19 +21,68 @@ module closes that hole:
      here, attributed to the kernel and shape, before any full-program
      compile.
 
-Run via scripts/kernel_sweep.py or bench.py (first act). Compile cache makes
-repeat runs cheap.
+Run via scripts/kernel_sweep.py or bench.py (best-effort extra after the
+headline JSON, or for attribution when the full program fails — BENCH_r04
+postmortem: running the sweep FIRST consumed the driver's whole budget).
+Two budget levers (VERDICT r4 next #1a):
+
+  - a repo-committed skip-cache (.sweep_ok.json) records every instance that
+    has executed OK on the TPU backend, keyed by a hash of the ops/ sources —
+    it survives host moves, unlike the host-fingerprinted XLA compile cache,
+    so a warm round replays nothing that hasn't changed;
+  - `deadline_s` sheds remaining instances when the clock runs short
+    (reported, never silent).
 """
 
 from __future__ import annotations
 
+import hashlib
 import importlib
+import json
+import os
+import time
 from dataclasses import dataclass, field
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+SWEEP_CACHE_PATH = os.path.join(_REPO_ROOT, ".sweep_ok.json")
+
+
+def ops_code_hash() -> str:
+    """Hash of every posetraj_tpu/ops source file: the skip-cache key. Any
+    kernel edit invalidates every cached OK (coarse on purpose — correctness
+    over cleverness; a full cold sweep is ~6 min, a warm one free)."""
+    ops_dir = os.path.join(_REPO_ROOT, "posetraj_tpu", "ops")
+    h = hashlib.sha256()
+    for name in sorted(os.listdir(ops_dir)):
+        if name.endswith(".py"):
+            with open(os.path.join(ops_dir, name), "rb") as f:
+                h.update(name.encode())
+                h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _load_sweep_cache(code_hash: str) -> set:
+    try:
+        with open(SWEEP_CACHE_PATH) as f:
+            data = json.load(f)
+        if data.get("code_hash") == code_hash:
+            return set(data.get("ok", []))
+    except (OSError, ValueError):
+        pass
+    return set()
+
+
+def _save_sweep_cache(code_hash: str, ok_keys: set) -> None:
+    try:
+        with open(SWEEP_CACHE_PATH, "w") as f:
+            json.dump({"code_hash": code_hash, "ok": sorted(ok_keys)}, f, indent=0)
+    except OSError:
+        pass  # read-only checkout: cache is an optimization, not a requirement
 
 # Every fused-op entry point behind a dispatch gate. Wrapping the module
 # attribute is sufficient: all call sites bind via function-local
@@ -177,21 +226,39 @@ def _materialize(v, rng: np.random.RandomState):
     return v
 
 
-def run_sweep(resolutions=((576, 1024), (320, 576)), verbose: bool = True) -> SweepResult:
+def run_sweep(resolutions=((576, 1024), (320, 576)), verbose: bool = True,
+              deadline_s: float | None = None) -> SweepResult:
     """Record + replay. Each instance executes for real on the default backend;
-    raises RuntimeError listing every failing kernel instance if any fail."""
+    raises RuntimeError listing every failing kernel instance if any fail.
+
+    `deadline_s`: wall-clock budget from call time; instances still pending at
+    the deadline are reported as SHED (not failures). Instances whose key is in
+    the .sweep_ok.json skip-cache for the current ops code hash are reported
+    CACHED and not re-executed."""
+    t0 = time.perf_counter()
     result = SweepResult()
     if jax.default_backend() != "tpu":
         if verbose:
             print("[kernel-sweep] non-TPU backend: dispatch gates are all off; nothing to sweep")
         return result
 
+    code_hash = ops_code_hash()
+    cached_ok = _load_sweep_cache(code_hash)
     records = record_instances(resolutions)
     rng = np.random.RandomState(0)
     fns = {f"{m.rsplit('.', 1)[1]}.{a}": getattr(importlib.import_module(m), a)
            for m, a in TARGETS}
+    shed = 0
     for key, inst in sorted(records.items()):
         fn = fns[inst.name]
+        if key in cached_ok:
+            result.instances.append((key, "OK", "cached"))
+            if verbose:
+                print(f"[kernel-sweep] OK   {key}  (cached {code_hash})")
+            continue
+        if deadline_s is not None and time.perf_counter() - t0 > deadline_s:
+            shed += 1
+            continue
         try:
             args = tuple(_materialize(a, rng) for a in inst.args)
             kwargs = {k: _materialize(v, rng) for k, v in inst.kwargs.items()}
@@ -205,9 +272,14 @@ def run_sweep(resolutions=((576, 1024), (320, 576)), verbose: bool = True) -> Sw
         if verbose:
             print(f"[kernel-sweep] {status:4s} {key}" + (f"  {detail}" if detail else ""))
 
+    ok_now = {k for k, s, _ in result.instances if s == "OK"}
+    if ok_now - cached_ok:
+        _save_sweep_cache(code_hash, cached_ok | ok_now)
     if result.failures:
         lines = "\n".join(f"  {k}: {d}" for k, d in result.failures)
         raise RuntimeError(f"kernel sweep: {len(result.failures)} kernel instance(s) failed:\n{lines}")
     if verbose:
-        print(f"[kernel-sweep] {len(result.instances)} kernel instances OK on {jax.default_backend()}")
+        extra = f", {shed} shed at {deadline_s:.0f}s deadline" if shed else ""
+        print(f"[kernel-sweep] {len(result.instances)} kernel instances OK on "
+              f"{jax.default_backend()}{extra}")
     return result

@@ -92,6 +92,9 @@ def parse_args(argv=None):
     p.add_argument("--grads_bf16", action="store_true",
                    help="carry cotangents in bf16 (fp32 masters stay in the optimizer)")
     p.add_argument("--tiny", action="store_true", help="tiny model bundle (smoke runs)")
+    p.add_argument("--platform", choices=["default", "cpu"], default="default",
+                   help="force the jax platform (sitecustomize pins the tunneled "
+                        "TPU regardless of JAX_PLATFORMS; CPU smoke runs need this)")
     return p.parse_args(argv)
 
 
@@ -127,6 +130,9 @@ def main(argv=None):
 
         initialize_distributed(args.coordinator_address, args.num_processes, args.process_id)
     import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from posetraj_tpu.configs import TrainConfig
     from posetraj_tpu.core.params import count_params, param_audit

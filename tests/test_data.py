@@ -358,3 +358,46 @@ def test_vipseg_cam_mask_deterministic(tmp_path):
     second = [ds[i]["cam_parameter"] for i in range(len(ds))]
     for a, b in zip(first, second):
         np.testing.assert_array_equal(a, b)
+
+
+def test_ssim_windowed_matches_direct_implementation():
+    """Cross-check metrics.ssim (separable scipy correlate1d formulation)
+    against a literal O(N*win^2) translation of Wang et al. 2004: explicit
+    11x11 Gaussian-weighted window statistics at every fully-interior pixel."""
+    from posetraj_tpu.data import metrics
+
+    rng = np.random.RandomState(3)
+    a = rng.rand(24, 20).astype(np.float64)
+    b = np.clip(a + 0.15 * rng.randn(24, 20), 0, 1)
+
+    win, sigma = 11, 1.5
+    r = np.arange(win) - (win - 1) / 2.0
+    k1d = np.exp(-(r**2) / (2 * sigma**2))
+    w = np.outer(k1d, k1d)
+    w /= w.sum()
+    c1, c2 = 0.01**2, 0.03**2
+    pad = win // 2
+    vals = []
+    for i in range(pad, a.shape[0] - pad):
+        for j in range(pad, a.shape[1] - pad):
+            pa = a[i - pad : i + pad + 1, j - pad : j + pad + 1]
+            pb = b[i - pad : i + pad + 1, j - pad : j + pad + 1]
+            mu_a = (w * pa).sum()
+            mu_b = (w * pb).sum()
+            va = (w * pa * pa).sum() - mu_a**2
+            vb = (w * pb * pb).sum() - mu_b**2
+            cov = (w * pa * pb).sum() - mu_a * mu_b
+            vals.append(((2 * mu_a * mu_b + c1) * (2 * cov + c2))
+                        / ((mu_a**2 + mu_b**2 + c1) * (va + vb + c2)))
+    direct = float(np.mean(vals))
+    assert metrics.ssim(a, b) == pytest.approx(direct, abs=1e-12)
+
+    # Properties: identity is exactly 1; more noise monotonically hurts;
+    # channel planes average (multichannel == mean of per-plane scores).
+    assert metrics.ssim(a, a) == pytest.approx(1.0, abs=1e-12)
+    worse = np.clip(a + 0.4 * rng.randn(*a.shape), 0, 1)
+    assert metrics.ssim(a, worse) < metrics.ssim(a, b) < 1.0
+    rgb_a = np.stack([a, a * 0.5, 1 - a], axis=-1)
+    rgb_b = np.stack([b, np.clip(b * 0.5, 0, 1), 1 - b], axis=-1)
+    per_plane = np.mean([metrics.ssim(rgb_a[..., c], rgb_b[..., c]) for c in range(3)])
+    assert metrics.ssim(rgb_a, rgb_b) == pytest.approx(per_plane, abs=1e-12)

@@ -71,3 +71,69 @@ def test_use_kernels_scoping(monkeypatch):
         with use_kernels(None):  # None = keep enclosing scope
             assert kernel_config().fused_ff
     assert not kernel_config().fused_ff  # env seeding restored
+
+
+def test_kernel_toggle_flip_retraces_jit(monkeypatch, tmp_path):
+    """VERDICT r4 weak #7: flipping a kernel toggle between two calls of the
+    library-owned jitted generate() must produce a different static cache key
+    (a retrace), never a silent stale-executable hit."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from posetraj_tpu.pipeline import ModelBundle
+    from posetraj_tpu.pipeline.svd_controlnet import (
+        _generate_jit,
+        added_time_ids_inference,
+        generate,
+        resolve_kernels,
+    )
+    from posetraj_tpu.configs import KernelConfig, PipelineConfig
+    from posetraj_tpu.diffusion import make_schedule
+    from posetraj_tpu.models import clip as clip_m
+    from posetraj_tpu.models import controlnet as cn
+    from posetraj_tpu.models import unet as unet_m
+    from posetraj_tpu.models import vae as vae_m
+
+    # resolve_kernels: None -> env-seeded; explicit passes through untouched.
+    bundle = ModelBundle.tiny()
+    assert bundle.kernels is None
+    monkeypatch.setenv("POSETRAJ_FUSED_FF", "0")
+    assert resolve_kernels(bundle).kernels == KernelConfig(fused_ff=False)
+    explicit = dataclasses.replace(bundle, kernels=KernelConfig(fused_ln=True))
+    assert resolve_kernels(explicit).kernels == KernelConfig(fused_ln=True)
+
+    key = jax.random.PRNGKey(0)
+    params = {
+        "unet": unet_m.init_unet(key, bundle.unet),
+        "controlnet": cn.init_controlnet(key, bundle.controlnet),
+        "vae": vae_m.init_vae(key, bundle.vae),
+        "clip": clip_m.init_clip_vision(key, bundle.clip),
+    }
+    pcfg = PipelineConfig(height=64, width=64, num_frames=2,
+                          num_inference_steps=1, decode_chunk_size=2)
+    sched = make_schedule(bundle.scheduler, 1)
+    rng = np.random.RandomState(0)
+    args = (
+        params, bundle, pcfg,
+        jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32),
+        jnp.asarray(rng.rand(1, 2, 64, 64, 3), jnp.float32),
+        {"latents": jnp.asarray(rng.randn(1, 2, 8, 8, 4), jnp.float32),
+         "image_aug": jnp.asarray(rng.randn(1, 64, 64, 3), jnp.float32)},
+        jnp.asarray(added_time_ids_inference(pcfg)),
+        jnp.asarray(sched.sigmas), jnp.asarray(sched.timesteps), 2,
+    )
+    n0 = _generate_jit._cache_size()
+    monkeypatch.setenv("POSETRAJ_FUSED_FF", "1")
+    out_a = generate(*args)
+    n1 = _generate_jit._cache_size()
+    monkeypatch.setenv("POSETRAJ_FUSED_FF", "0")
+    out_b = generate(*args)
+    n2 = _generate_jit._cache_size()
+    assert n1 == n0 + 1 and n2 == n1 + 1, (n0, n1, n2)  # flip => retrace
+    # same toggles again => cache hit, no third trace
+    generate(*args)
+    assert _generate_jit._cache_size() == n2
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-5)
