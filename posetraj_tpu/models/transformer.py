@@ -76,8 +76,12 @@ def attention_module(
     from posetraj_tpu.parallel import spmd
 
     ctx_sp = spmd.current()
+    # tokens_sharded: replicated deep levels (SpmdCtx.replicated_s) hold the
+    # full token extent locally and must not gather.
     gather_axis = (
-        ctx_sp.sp_axis if (ctx_sp is not None and ctx_sp.sharded_w and context is None) else None
+        ctx_sp.sp_axis
+        if (ctx_sp is not None and context is None and ctx_sp.tokens_sharded(x.shape[1]))
+        else None
     )
     if context is None and "bias" not in params["to_q"]:
         # Self-attention: one (C, 3C) matmul instead of three (C, C) ones —
@@ -506,16 +510,19 @@ def transformer_spatio_temporal(
         from posetraj_tpu.parallel import spmd
 
         ctx_sp = spmd.current()
-        if ctx_sp is not None and (ctx_sp.sharded_w or ctx_sp.cfg_size > 1):
+        # At replicated deep levels (SpmdCtx.replicated_h) the local W IS the
+        # global W: no sp offset, but the cfg interleave still applies.
+        sp_here = ctx_sp is not None and ctx_sp.w_sharded_at(hh)
+        if ctx_sp is not None and (sp_here or ctx_sp.cfg_size > 1):
             table = ctx_first
             b_glob, b_ids = b, jnp.arange(b)
             if ctx_sp.cfg_size > 1:
                 table = jax.lax.all_gather(ctx_first, ctx_sp.cfg_axis, axis=0, tiled=True)
                 b_glob = b * ctx_sp.cfg_size
                 b_ids = jax.lax.axis_index(ctx_sp.cfg_axis) * b + jnp.arange(b)
-            w_glob = ww * ctx_sp.sp_size
+            w_glob = ww * ctx_sp.sp_size if sp_here else ww
             col = jax.lax.axis_index(ctx_sp.sp_axis) * ww + jnp.arange(ww) \
-                if ctx_sp.sharded_w else jnp.arange(ww)
+                if sp_here else jnp.arange(ww)
             s_glob = (jnp.arange(hh)[:, None] * w_glob + col[None, :]).reshape(-1)  # (s,)
             flat_idx = (b_ids[:, None] * (hh * w_glob) + s_glob[None, :]) % b_glob
             time_context = table[flat_idx]  # (b, S, 1, D)

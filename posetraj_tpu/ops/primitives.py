@@ -49,7 +49,7 @@ def conv2d(
     dt = compute_dtype or x.dtype
     ctx = spmd.current()
     kh, kw = params["kernel"].shape[:2]
-    if ctx is not None and ctx.sharded_w and (kw > 1 or stride > 1):
+    if ctx is not None and ctx.w_sharded_at(x.shape[-3]) and (kw > 1 or stride > 1):
         if padding == "SAME":
             # SAME for odd kernels at stride 1 == symmetric torch padding.
             pad_h, pad_w = ((kh // 2, kh // 2), (kw // 2, kw // 2))
@@ -124,7 +124,11 @@ def group_norm(params: dict, x: jax.Array, num_groups: int = 32, eps: float = 1e
     from posetraj_tpu.ops.pallas_groupnorm import fused_group_norm, fused_group_norm_applicable
 
     ctx = spmd.current()
-    psum_axis = ctx.sp_axis if (ctx is not None and ctx.sharded_w) else None
+    psum_axis = (
+        ctx.sp_axis
+        if (ctx is not None and x.ndim >= 4 and ctx.w_sharded_at(x.shape[-3]))
+        else None
+    )
     if fused_group_norm_applicable(x, num_groups):
         return fused_group_norm(
             x, params["scale"], params["bias"], num_groups, eps, act=False, psum_axis=psum_axis
@@ -189,7 +193,11 @@ def group_norm_silu(
             x = _broadcast_add(x, add)
             add = None
         ctx = spmd.current()
-        psum_axis = ctx.sp_axis if (ctx is not None and ctx.sharded_w) else None
+        psum_axis = (
+            ctx.sp_axis
+            if (ctx is not None and x.ndim >= 4 and ctx.w_sharded_at(x.shape[-3]))
+            else None
+        )
         return fused_group_norm(
             x, params["scale"], params["bias"], num_groups, eps, act,
             psum_axis=psum_axis, add=add,
@@ -243,16 +251,54 @@ def downsample_2x(params: dict, x: jax.Array, asymmetric_pad: bool = False, comp
 
     UNet blocks use padding=1 (SAME for odd sizes); the VAE encoder uses
     padding=0 with manual (0,1,0,1) pad — `asymmetric_pad=True`.
+
+    Replicated-deep-level boundary (parallel/spmd.py SpmdCtx.replicated_h):
+    when the OUTPUT level runs replicated but the input is W-sharded — the
+    eval-res ladder 72 -> 36 -> 18 -> 9 under sp=2 stops dividing at the
+    deepest level — the shards all-gather W here and the conv runs on the
+    full width with the sharding context suspended (plain SAME semantics ==
+    the global conv).
     """
+    from posetraj_tpu.parallel import spmd
+
     if asymmetric_pad:
         pad = ((0, 1), (0, 1))
     else:
         pad = ((1, 1), (1, 1))
+    ctx = spmd.current()
+    h_in = x.shape[-3]
+    if (
+        ctx is not None
+        and ctx.w_sharded_at(h_in)
+        and not ctx.w_sharded_at(-(-h_in // 2))
+    ):
+        x = spmd.gather_w(x, ctx)
+        with spmd.local_tokens():
+            return conv2d(params, x, stride=2, padding=pad, compute_dtype=compute_dtype)
     return conv2d(params, x, stride=2, padding=pad, compute_dtype=compute_dtype)
 
 
 def upsample_nearest_2x(params: dict, x: jax.Array, compute_dtype=None) -> jax.Array:
-    """Nearest x2 upsample + 3x3 conv (diffusers Upsample2D, use_conv=True)."""
-    n, h, w, c = x.shape
+    """Nearest x2 upsample + 3x3 conv (diffusers Upsample2D, use_conv=True).
+
+    Boundary twin of downsample_2x: leaving a replicated deep level for a
+    W-sharded one, the upsample + conv run on the full width (context
+    suspended) and each shard slices its local W block back out.
+    """
+    from posetraj_tpu.parallel import spmd
+
+    ctx = spmd.current()
+    h_in = x.shape[-3]
+    if (
+        ctx is not None
+        and ctx.sharded_w
+        and not ctx.w_sharded_at(h_in)
+        and ctx.w_sharded_at(2 * h_in)
+    ):
+        with spmd.local_tokens():
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            y = conv2d(params, x, stride=1, padding=((1, 1), (1, 1)),
+                       compute_dtype=compute_dtype)
+        return spmd.scatter_w(y, ctx)
     x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
     return conv2d(params, x, stride=1, padding=((1, 1), (1, 1)), compute_dtype=compute_dtype)

@@ -63,32 +63,77 @@ def make_serve_mesh(n_cfg: int = 2, n_sp: int = 4, devices=None) -> Mesh:
     return Mesh(devices.reshape(n_cfg, n_sp), ("cfg", "sp"))
 
 
-def _check_divisible(pcfg: PipelineConfig, bundle: ModelBundle, num_frames: int, mesh: Mesh):
+def _check_divisible(
+    pcfg: PipelineConfig, bundle: ModelBundle, num_frames: int, mesh: Mesh
+) -> tuple:
+    """Validate the mesh against the resolution ladder and compute the
+    replicated-deep-level boundary.
+
+    Returns (replicated_h, replicated_s) frozensets for SpmdCtx: UNet levels
+    whose W ladder stops dividing over sp run REPLICATED — the downsampler
+    into the first such level all-gathers W, the matching upsampler
+    re-scatters (ops/primitives.py). This is what lets the reference eval
+    resolution 320x576 (latent W 72 -> 36 -> 18 -> 9; the deepest level's 9
+    cannot split — run_inference_vipseg_json_repro.py:451) serve on a
+    (cfg=2, sp=2) 4-chip mesh: levels 0-2 shard, the 5x9 deepest level
+    (~0.3% of the step FLOPs) replicates. Level 0 itself failing to divide is
+    still an error — there is no useful sp layout then.
+    """
     n_sp = mesh.shape["sp"]
     n_cfg = mesh.shape["cfg"]
     if n_cfg not in (1, 2):
         raise ValueError(f"cfg axis must be 1 or 2 (CFG pair), got {n_cfg}")
-    sf = bundle.vae.scale_factor
-    w_lat = pcfg.width // sf
-    # Every UNet level halves W; the deepest level's width must still split.
-    n_levels = bundle.unet.num_levels
-    w_min = w_lat >> (n_levels - 1)
-    if w_min % n_sp != 0:
-        raise ValueError(
-            f"latent width {w_lat} does not divide over sp={n_sp} at the deepest "
-            f"UNet level (w_min={w_min}); choose a width whose latent is a "
-            f"multiple of {n_sp << (n_levels - 1)}"
-        )
-    # Stride-2 halo exchange assumes even local widths at every downsample.
-    for lvl in range(n_levels - 1):
-        if ((w_lat >> lvl) // n_sp) % 2 != 0:
-            raise ValueError(f"local width at level {lvl} is odd under sp={n_sp}")
     if num_frames % pcfg.decode_chunk_size != 0:
         raise ValueError(
             "sharded decode requires decode_chunk_size | num_frames "
             f"({pcfg.decode_chunk_size} vs {num_frames}) so chunk boundaries "
             "match the unsharded chunked decode exactly"
         )
+    if n_sp == 1:
+        return frozenset(), frozenset()
+    sf = bundle.vae.scale_factor
+    w_lat = pcfg.width // sf
+    h_lat = pcfg.height // sf
+    n_levels = bundle.unet.num_levels
+    if w_lat % n_sp != 0:
+        raise ValueError(
+            f"latent width {w_lat} does not divide over sp={n_sp}; choose a "
+            f"width whose latent is a multiple of {n_sp}"
+        )
+    # Hint-encoder pixel ladder: log2(sf) stride-2 convs from pixel width down
+    # to the latent width, each needing an even local shard.
+    sharded_h, sharded_s = set(), set()
+    for i in range((sf - 1).bit_length()):
+        w_px = pcfg.width >> i
+        if (w_px // n_sp) % 2 != 0:
+            raise ValueError(
+                f"hint-encoder width {w_px} has an odd local shard under sp={n_sp}"
+            )
+        sharded_h.add(pcfg.height >> i)
+    # Walk the UNet ladder: a level stays sharded until a downsample's local
+    # width goes odd; everything deeper is replicated.
+    replicated_h, replicated_s = set(), set()
+    h, w, sharded = h_lat, w_lat, True
+    for lvl in range(n_levels):
+        if sharded:
+            sharded_h.add(h)
+            sharded_s.add(h * (w // n_sp))
+        else:
+            replicated_h.add(h)
+            replicated_s.add(h * w)
+        if lvl < n_levels - 1:
+            if sharded and ((w // n_sp) % 2 != 0):
+                sharded = False
+            h, w = -(-h // 2), -(-w // 2)
+    if replicated_h & sharded_h or replicated_s & sharded_s:
+        # The trace-time shape keys (ops gate collectives on H / token count)
+        # would be ambiguous; no known real config hits this.
+        raise ValueError(
+            f"ambiguous ladder: replicated levels (H {sorted(replicated_h)}, "
+            f"S {sorted(replicated_s)}) collide with sharded extents under "
+            f"sp={n_sp} at {pcfg.height}x{pcfg.width}"
+        )
+    return frozenset(replicated_h), frozenset(replicated_s)
 
 
 @partial(
@@ -153,11 +198,12 @@ def _generate_sharded_impl(
     camera_cond, bbox_cond, rot_id, output_latent,
 ):
     assert image.shape[0] == 1, "single-video serving path requires batch 1"
-    _check_divisible(pcfg, bundle, num_frames, mesh)
+    replicated_h, replicated_s = _check_divisible(pcfg, bundle, num_frames, mesh)
     n_cfg = mesh.shape["cfg"]
     n_sp = mesh.shape["sp"]
     compute_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    ctx = spmd.SpmdCtx(sp_axis="sp", sp_size=n_sp, cfg_axis="cfg", cfg_size=n_cfg)
+    ctx = spmd.SpmdCtx(sp_axis="sp", sp_size=n_sp, cfg_axis="cfg", cfg_size=n_cfg,
+                       replicated_h=replicated_h, replicated_s=replicated_s)
 
     # ---- encode (replicated on every chip; ~0.3 s of the budget) ----------
     def _encode_body(params_, image_, aug_noise_):

@@ -57,16 +57,42 @@ class SpmdCtx:
     cfg_axis/cfg_size: mesh axis name/size sharding the CFG (2B) batch dim.
     Either size may be 1 (degenerate axis), which makes every collective a
     no-op with identical numerics — the same code path runs on a single chip.
+
+    replicated_h / replicated_s: UNet levels that run REPLICATED (full W on
+    every sp shard) because their width ladder stops dividing — the reference
+    eval resolution 320x576 has latent W 72 -> 36 -> 18 -> 9, where 9 cannot
+    split over sp=2 (run_inference_vipseg_json_repro.py:451 is the config
+    this exists for). serve.py computes the boundary from the ladder; the
+    downsampler into the first replicated level all-gathers W and the
+    matching upsampler re-scatters (ops/primitives.py). Ops gate their
+    collectives on these trace-time shape keys:
+      replicated_h — H extents (x.shape[-3]) of replicated levels, consumed
+        by convs / GroupNorm / the Q7 context remap;
+      replicated_s — token counts (H*W_global) of replicated levels, consumed
+        by spatial self-attention's K/V gather (the flattened (B*F, S, C)
+        tensor no longer carries H). serve.py asserts these keys collide with
+        no sharded-level extent before building the context.
+    Both default empty: every level sharded, the pre-existing behavior.
     """
 
     sp_axis: str = "sp"
     sp_size: int = 4
     cfg_axis: str = "cfg"
     cfg_size: int = 2
+    replicated_h: frozenset = frozenset()
+    replicated_s: frozenset = frozenset()
 
     @property
     def sharded_w(self) -> bool:
         return self.sp_size > 1
+
+    def w_sharded_at(self, h: int) -> bool:
+        """Is the W axis of a spatial tensor with H extent `h` sharded?"""
+        return self.sp_size > 1 and h not in self.replicated_h
+
+    def tokens_sharded(self, s: int) -> bool:
+        """Is the token axis of a flattened (B*F, S, C) tensor a W shard?"""
+        return self.sp_size > 1 and s not in self.replicated_s
 
 
 _STACK: list = []
@@ -139,6 +165,24 @@ def all_gather_tokens(x: jax.Array, ctx: SpmdCtx, axis: int = 1) -> jax.Array:
     if ctx.sp_size == 1:
         return x
     return lax.all_gather(x, ctx.sp_axis, axis=axis, tiled=True)
+
+
+def gather_w(x: jax.Array, ctx: SpmdCtx) -> jax.Array:
+    """All-gather the W shard axis (axis -2 of (..., H, W, C)) so every sp
+    shard holds the full width — the entry into a replicated deep level."""
+    if ctx.sp_size == 1:
+        return x
+    return lax.all_gather(x, ctx.sp_axis, axis=x.ndim - 2, tiled=True)
+
+
+def scatter_w(x: jax.Array, ctx: SpmdCtx) -> jax.Array:
+    """Slice this shard's local W block out of a replicated full-width tensor
+    — the exit from a replicated deep level back into W-sharded levels."""
+    if ctx.sp_size == 1:
+        return x
+    w_loc = x.shape[-2] // ctx.sp_size
+    idx = lax.axis_index(ctx.sp_axis)
+    return lax.dynamic_slice_in_dim(x, idx * w_loc, w_loc, axis=x.ndim - 2)
 
 
 def conv_halo_plan(kw: int, stride: int, pad_w: tuple) -> tuple:

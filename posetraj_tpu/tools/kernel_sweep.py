@@ -192,17 +192,23 @@ def _trace_generate(height: int, width: int, frames: int = 14, steps: int = 25):
     sched = make_schedule(SchedulerConfig(), steps)
     B, lh, lw = 1, height // 8, width // 8
     f32 = jnp.float32
-    args = (
-        params, bundle, pcfg,
+    array_args = (
+        params,
         jax.ShapeDtypeStruct((B, height, width, 3), f32),
         jax.ShapeDtypeStruct((B, frames, height, width, 3), f32),
         {"latents": jax.ShapeDtypeStruct((B, frames, lh, lw, 4), f32),
          "image_aug": jax.ShapeDtypeStruct((B, height, width, 3), f32)},
         jnp.asarray(np.tile(added_time_ids_inference(pcfg), (B, 1))),
         jnp.asarray(sched.sigmas), jnp.asarray(sched.timesteps),
-        frames,
     )
-    jax.eval_shape(generate, *args)
+    # generate is a plain wrapper (resolve_kernels -> jitted twin), so close
+    # over the static args instead of letting eval_shape abstractify them.
+    jax.eval_shape(
+        lambda p, img, ctrl, noi, tids, sig, ts: generate(
+            p, bundle, pcfg, img, ctrl, noi, tids, sig, ts, frames
+        ),
+        *array_args,
+    )
 
 
 def record_instances(resolutions=((576, 1024), (320, 576))) -> dict:

@@ -64,15 +64,23 @@ def build_args(height: int, width: int, steps: int = 25, frames: int = 14,
     )
 
 
-def aot_compile_serving(height: int, width: int, topology: str = "v5e:2x4x1"):
-    """Compile generate_sharded for the given topology; return (compiled, stats)."""
+def aot_compile_serving(height: int, width: int, topology: str = "v5e:2x4x1",
+                        n_sp: int | None = None):
+    """Compile generate_sharded for the given topology; return (compiled, stats).
+
+    n_sp defaults to devices/2 (the (cfg=2, sp=4) v5e-8 layout). The 320x576
+    eval resolution serves over (cfg=2, sp=2) on 4 of the topology's chips —
+    its W ladder collides at sp=4 (parallel/serve.py _check_divisible).
+    """
     from jax.experimental import topologies
 
     from posetraj_tpu.parallel.serve import generate_sharded, make_serve_mesh
 
     topo = topologies.get_topology_desc(topology, "tpu")
     n = len(topo.devices)
-    mesh = make_serve_mesh(2, n // 2, devices=topo.devices)
+    if n_sp is None:
+        n_sp = n // 2
+    mesh = make_serve_mesh(2, n_sp, devices=topo.devices[: 2 * n_sp])
     bundle, pcfg, args = build_args(height, width)
     params, image, control, noises, tids, sigmas, timesteps = args
     lowered = generate_sharded.lower(
@@ -83,6 +91,43 @@ def aot_compile_serving(height: int, width: int, topology: str = "v5e:2x4x1"):
     return compiled, compiled.memory_analysis()
 
 
+# v5e per-chip peaks (public spec): 197 TF/s bf16, 819 GB/s HBM.
+V5E_PEAK_FLOPS = 197e12
+V5E_PEAK_BW = 819e9
+
+
+def report_cost(compiled, n_chips: int):
+    """Dump the AOT compiler's cost model for the whole serving program and a
+    roofline bound derived from it (VERDICT r4 next #5: replace the PERF.md
+    arithmetic projection with the production compiler's own numbers).
+
+    cost_analysis() on an SPMD executable reports the per-device partitioned
+    module (flops/bytes of one chip's share of the program, collectives
+    excluded from flops)."""
+    try:
+        costs = compiled.cost_analysis()
+        if isinstance(costs, (list, tuple)):
+            costs = costs[0]
+    except Exception as e:  # noqa: BLE001
+        print(f"[aot-memcheck] cost_analysis unavailable: {type(e).__name__}: {e}")
+        return
+    flops = costs.get("flops", 0.0)
+    bytes_acc = costs.get("bytes accessed", 0.0)
+    t_flops = flops / V5E_PEAK_FLOPS
+    t_bw = bytes_acc / V5E_PEAK_BW
+    bound = max(t_flops, t_bw)
+    line = (
+        f"[aot-memcheck] cost model (per chip of {n_chips}): "
+        f"{flops / 1e12:.1f} TFLOP, {bytes_acc / 1e9:.1f} GB accessed -> "
+        f"roofline >= max(compute {t_flops:.2f} s, memory {t_bw:.2f} s) "
+        f"= {bound:.2f} s/video (collectives excluded)"
+    )
+    print(line)
+    for k in sorted(costs):
+        if k not in ("flops", "bytes accessed"):
+            print(f"[aot-memcheck]   cost[{k!r}] = {costs[k]}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--topology", default="v5e:2x4x1")
@@ -90,13 +135,16 @@ def main(argv=None):
                    help="also compile the 320x576 eval resolution")
     args = p.parse_args(argv)
 
-    shapes = [(576, 1024)] + ([(320, 576)] if args.eval_res else [])
+    # (height, width, n_sp): flagship serves (cfg=2, sp=4) on all 8 chips;
+    # eval res serves (cfg=2, sp=2) on 4 (see aot_compile_serving docstring).
+    shapes = [(576, 1024, None)] + ([(320, 576, 2)] if args.eval_res else [])
     ok = True
-    for h, w in shapes:
-        print(f"[aot-memcheck] compiling generate_sharded {h}x{w} for "
-              f"{args.topology} ...", file=sys.stderr)
+    for h, w, n_sp in shapes:
+        print(f"[aot-memcheck] compiling generate_sharded {h}x{w} "
+              f"(sp={n_sp or 'devices/2'}) for {args.topology} ...",
+              file=sys.stderr)
         try:
-            _, stats = aot_compile_serving(h, w, args.topology)
+            compiled, stats = aot_compile_serving(h, w, args.topology, n_sp=n_sp)
         except Exception as e:  # noqa: BLE001 — report, keep going
             print(f"[aot-memcheck] {h}x{w} FAILED: {type(e).__name__}: "
                   f"{str(e)[:400]}")
@@ -105,13 +153,16 @@ def main(argv=None):
         gb = 1e9
         total = (stats.argument_size_in_bytes + stats.temp_size_in_bytes
                  + stats.output_size_in_bytes)
+        n_chips = 2 * (n_sp or 4)
         print(
-            f"[aot-memcheck] {h}x{w} over {args.topology}: per-chip "
+            f"[aot-memcheck] {h}x{w} over {args.topology} "
+            f"(cfg=2, sp={n_sp or 4}): per-chip "
             f"args {stats.argument_size_in_bytes / gb:.2f} GB + "
             f"temps {stats.temp_size_in_bytes / gb:.2f} GB + "
             f"out {stats.output_size_in_bytes / gb:.2f} GB = {total / gb:.2f} GB "
             f"(v5e HBM 16 GB) {'FITS' if total <= 16e9 else 'OVER'}"
         )
+        report_cost(compiled, n_chips)
         ok = ok and total <= 16e9
     return 0 if ok else 1
 

@@ -206,13 +206,84 @@ class TestShardedGenerate:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4, rtol=1e-3)
 
     def test_width_divisibility_guard(self, tiny_params):
+        """Level-0 indivisibility is still a hard error (no useful sp layout)."""
         bundle, pcfg, image, control, noises, time_ids, sched, frames = _tiny_inputs()
         import dataclasses
 
-        bad = dataclasses.replace(pcfg, width=128)  # latent 16 -> deepest 2, not /4
+        bad = dataclasses.replace(pcfg, width=104)  # latent 13, not /4
         with pytest.raises(ValueError, match="divide|multiple"):
             generate_sharded(
                 tiny_params, bundle, bad, image, control, noises, time_ids,
                 jnp.asarray(sched.sigmas), jnp.asarray(sched.timesteps), frames,
                 make_serve_mesh(2, 4),
             )
+
+    def test_matches_unsharded_replicated_deepest_level(self, tiny_params):
+        """Ladder analog of the reference eval resolution: latent W
+        24 -> 12 -> 6 -> 3 under sp=2 stops dividing at the deepest level
+        (like 320x576's 72 -> 36 -> 18 -> 9), so the downsampler into it
+        all-gathers W and the deepest level + mid block run replicated
+        (SpmdCtx.replicated_h) — numerics must still match the unsharded
+        program."""
+        bundle, pcfg, image, control, noises, time_ids, sched, frames = _tiny_inputs(
+            width=192, height=64
+        )
+        from posetraj_tpu.parallel.serve import _check_divisible
+
+        mesh = make_serve_mesh(2, 2, devices=jax.devices()[:4])
+        rep_h, rep_s = _check_divisible(pcfg, bundle, frames, mesh)
+        assert rep_h == frozenset({1}) and rep_s == frozenset({3}), (rep_h, rep_s)
+
+        ref = generate(
+            tiny_params, bundle, pcfg, image, control, noises, time_ids,
+            jnp.asarray(sched.sigmas), jnp.asarray(sched.timesteps), frames,
+        )
+        out = generate_sharded(
+            tiny_params, bundle, pcfg, image, control, noises, time_ids,
+            jnp.asarray(sched.sigmas), jnp.asarray(sched.timesteps), frames, mesh,
+        )
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-4, rtol=1e-3)
+
+
+class TestEvalResolutionLayout:
+    """The reference eval config (run_inference_vipseg_json_repro.py:451:
+    320x576, 14 frames) must have a multi-chip serving layout."""
+
+    def test_eval_res_layout_cfg2_sp2(self):
+        """(cfg=2, sp=2) on 4 chips: levels 0-2 shard W, the 5x9 deepest
+        level replicates."""
+        from posetraj_tpu.parallel.serve import _check_divisible
+
+        bundle = ModelBundle()  # flagship configs (no params materialized)
+        pcfg = PipelineConfig(height=320, width=576, num_frames=14,
+                              num_inference_steps=25, decode_chunk_size=2)
+        mesh = make_serve_mesh(2, 2, devices=jax.devices()[:4])
+        rep_h, rep_s = _check_divisible(pcfg, bundle, 14, mesh)
+        assert rep_h == frozenset({5}), rep_h
+        assert rep_s == frozenset({45}), rep_s
+
+    def test_eval_res_sp4_is_rejected_as_ambiguous(self):
+        """sp=4 at eval res collides (sharded level-1 local S == replicated
+        level-2 global S == 180): the guard must refuse rather than silently
+        mis-gate collectives."""
+        from posetraj_tpu.parallel.serve import _check_divisible
+
+        bundle = ModelBundle()
+        pcfg = PipelineConfig(height=320, width=576, num_frames=14,
+                              num_inference_steps=25, decode_chunk_size=2)
+        mesh = make_serve_mesh(2, 4)
+        with pytest.raises(ValueError, match="ambiguous"):
+            _check_divisible(pcfg, bundle, 14, mesh)
+
+    def test_flagship_res_all_levels_sharded(self):
+        """576x1024 over (2,4): the original fully-sharded layout — the
+        replicated sets must stay empty (no behavior change)."""
+        from posetraj_tpu.parallel.serve import _check_divisible
+
+        bundle = ModelBundle()
+        pcfg = PipelineConfig(height=576, width=1024, num_frames=14,
+                              num_inference_steps=25, decode_chunk_size=2)
+        mesh = make_serve_mesh(2, 4)
+        rep_h, rep_s = _check_divisible(pcfg, bundle, 14, mesh)
+        assert rep_h == frozenset() and rep_s == frozenset()
