@@ -69,6 +69,12 @@ class KernelConfig:
     fused_ff_ln: bool = True      # fold the pre-FF LayerNorm into the MLP kernel
     fused_groupnorm: bool = True  # Pallas GroupNorm(+SiLU) (pallas_groupnorm)
     fused_ln: bool = False        # standalone LN kernel — loses to XLA (PERF.md)
+    # No-max flash softmax: in base 2, subtracting the row max is a PURE 2^m
+    # scaling — binary-fp-exact — so skipping it changes nothing while the
+    # clamped logits stay in range (clamp 80 in the log2 domain ≈ natural
+    # logit 55, far beyond any sane attention; see _qkvt_attn_kernel). Kills
+    # the serial online-rescale (alpha) dependency chain between K blocks.
+    attn_no_max: bool = True
 
     @classmethod
     def from_env(cls) -> "KernelConfig":
@@ -84,6 +90,7 @@ class KernelConfig:
             "fused_ff_ln": "POSETRAJ_FUSED_FF_LN",
             "fused_groupnorm": "POSETRAJ_FUSED_GROUPNORM",
             "fused_ln": "POSETRAJ_FUSED_LN",
+            "attn_no_max": "POSETRAJ_ATTN_NO_MAX",
         }
         kw = {}
         for field, var in env.items():
@@ -409,9 +416,16 @@ class TrainConfig:
     use_ema: bool = True
     ema_decay: float = 0.9999
     # Reference trains with --gradient_checkpointing (start_pretrain.sh);
-    # per-block jax.checkpoint remat in both the ControlNet and the frozen
-    # UNet forward.
+    # jax.checkpoint remat in both the ControlNet and the frozen UNet forward.
     gradient_checkpointing: bool = True
+    # "unit" checkpoints each (resnet, transformer) unit inside the blocks;
+    # "block" checkpoints whole blocks (the reference's torch granularity,
+    # train...blender_14.py:975-976). Numerics are identical either way —
+    # remat only changes what is recomputed — but the block-granularity
+    # flagship 320x576 step compiles 34 MB over v5e's 15.75 GB HBM, so the
+    # finer boundary (whose down-path unit boundaries coincide with the
+    # already-saved skips) is the default.
+    remat_granularity: str = "unit"
     seed: int = 23123134  # reference generator seed (train...blender_14.py:829)
     # Camera variant knobs (start_ft_cam.sh).
     cam_mask_ratio: float = 0.5

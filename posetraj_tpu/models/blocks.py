@@ -77,19 +77,34 @@ def down_block(
     fidelity_time_context_order: bool = True,
     backend: str = "auto",
     compute_dtype=None,
+    remat_units: bool = False,
 ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
+    """remat_units: checkpoint each (resnet, transformer) unit instead of the
+    caller checkpointing the whole block — the unit boundaries here coincide
+    with the skips (saved for the backward anyway), so the finer granularity
+    shrinks the backward's live set at ~zero extra residual memory. This is
+    the flagship-recipe 16 GB HBM lever (the block-granularity step compiles
+    34 MB over on v5e)."""
     has_attn = "attentions" in params
     eps = CROSS_ATTN_EPS if has_attn else PLAIN_EPS
+    ckpt = (lambda fn: jax.checkpoint(fn)) if remat_units else (lambda fn: fn)
     skips: List[jax.Array] = []
     for i, res_p in enumerate(params["resnets"]):
-        x = spatio_temporal_res_block(
-            res_p, x, temb, num_frames, image_only_indicator, eps=eps, compute_dtype=compute_dtype
-        )
-        if has_attn:
-            x = transformer_spatio_temporal(
-                params["attentions"][i], x, context, num_frames, num_heads,
-                image_only_indicator, fidelity_time_context_order, backend, compute_dtype,
+        attn_p = params["attentions"][i] if has_attn else None
+
+        def unit(rp, ap, xx, tt, cc):
+            xx = spatio_temporal_res_block(
+                rp, xx, tt, num_frames, image_only_indicator, eps=eps,
+                compute_dtype=compute_dtype,
             )
+            if ap is not None:
+                xx = transformer_spatio_temporal(
+                    ap, xx, cc, num_frames, num_heads, image_only_indicator,
+                    fidelity_time_context_order, backend, compute_dtype,
+                )
+            return xx
+
+        x = ckpt(unit)(res_p, attn_p, x, temb, context)
         skips.append(x)
     if "downsampler" in params:
         x = downsample_2x(params["downsampler"], x, compute_dtype=compute_dtype)
@@ -133,20 +148,28 @@ def mid_block(
     fidelity_time_context_order: bool = True,
     backend: str = "auto",
     compute_dtype=None,
+    remat_units: bool = False,
 ) -> jax.Array:
-    x = spatio_temporal_res_block(
-        params["resnets"][0], x, temb, num_frames, image_only_indicator, eps=PLAIN_EPS,
-        compute_dtype=compute_dtype,
-    )
-    x = transformer_spatio_temporal(
-        params["attentions"][0], x, context, num_frames, num_heads,
-        image_only_indicator, fidelity_time_context_order, backend, compute_dtype,
-    )
-    x = spatio_temporal_res_block(
-        params["resnets"][1], x, temb, num_frames, image_only_indicator, eps=PLAIN_EPS,
-        compute_dtype=compute_dtype,
-    )
-    return x
+    ckpt = (lambda fn: jax.checkpoint(fn)) if remat_units else (lambda fn: fn)
+
+    def unit1(p, xx, tt, cc):
+        xx = spatio_temporal_res_block(
+            p["resnets"][0], xx, tt, num_frames, image_only_indicator, eps=PLAIN_EPS,
+            compute_dtype=compute_dtype,
+        )
+        return transformer_spatio_temporal(
+            p["attentions"][0], xx, cc, num_frames, num_heads,
+            image_only_indicator, fidelity_time_context_order, backend, compute_dtype,
+        )
+
+    def unit2(p, xx, tt):
+        return spatio_temporal_res_block(
+            p["resnets"][1], xx, tt, num_frames, image_only_indicator, eps=PLAIN_EPS,
+            compute_dtype=compute_dtype,
+        )
+
+    x = ckpt(unit1)(params, x, temb, context)
+    return ckpt(unit2)(params, x, temb)
 
 
 # ---------------------------------------------------------------------------
@@ -200,25 +223,34 @@ def up_block(
     fidelity_time_context_order: bool = True,
     backend: str = "auto",
     compute_dtype=None,
+    remat_units: bool = False,
 ) -> jax.Array:
     """`skips` holds this block's residuals, consumed last-first
-    (unet...controlnet.py:474-475)."""
+    (unet...controlnet.py:474-475). remat_units: see down_block."""
     has_attn = "attentions" in params
     # Both up-block types use eps=1e-6 (their class default; diffusers 0.24.0
     # get_up_block's SDV branches drop the resnet_eps argument).
     eps = CROSS_ATTN_EPS
+    ckpt = (lambda fn: jax.checkpoint(fn)) if remat_units else (lambda fn: fn)
     skips = list(skips)
     for i, res_p in enumerate(params["resnets"]):
         skip = skips.pop()
-        x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-        x = spatio_temporal_res_block(
-            res_p, x, temb, num_frames, image_only_indicator, eps=eps, compute_dtype=compute_dtype
-        )
-        if has_attn:
-            x = transformer_spatio_temporal(
-                params["attentions"][i], x, context, num_frames, num_heads,
-                image_only_indicator, fidelity_time_context_order, backend, compute_dtype,
+        attn_p = params["attentions"][i] if has_attn else None
+
+        def unit(rp, ap, xx, sk, tt, cc):
+            xx = jnp.concatenate([xx, sk.astype(xx.dtype)], axis=-1)
+            xx = spatio_temporal_res_block(
+                rp, xx, tt, num_frames, image_only_indicator, eps=eps,
+                compute_dtype=compute_dtype,
             )
+            if ap is not None:
+                xx = transformer_spatio_temporal(
+                    ap, xx, cc, num_frames, num_heads, image_only_indicator,
+                    fidelity_time_context_order, backend, compute_dtype,
+                )
+            return xx
+
+        x = ckpt(unit)(res_p, attn_p, x, skip, temb, context)
     if "upsampler" in params:
         x = upsample_nearest_2x(params["upsampler"], x, compute_dtype=compute_dtype)
     return x

@@ -302,8 +302,10 @@ def controlnet_forward(
 
     image_only_indicator = jnp.zeros((b, f), jnp.float32)
 
-    # Per-block remat, matching the UNet (train...blender_14.py:975-976).
-    ckpt = (lambda fn: jax.checkpoint(fn)) if remat else (lambda fn: fn)
+    # Remat, matching the UNet (train...blender_14.py:975-976); "unit" pushes
+    # the checkpoint boundary inside the blocks (see unet.py/blocks.py).
+    units = remat == "unit"
+    ckpt = (lambda fn: jax.checkpoint(fn)) if (remat and not units) else (lambda fn: fn)
 
     skips: Tuple[jax.Array, ...] = (x,)
     for i, db_params in enumerate(params["down_blocks"]):
@@ -311,6 +313,7 @@ def controlnet_forward(
             lambda p, xx, ee, cc, _i=i: down_block(
                 p, xx, ee, cc, f, u.num_attention_heads[_i], image_only_indicator,
                 backend=attention_backend, compute_dtype=compute_dtype,
+                remat_units=units,
             )
         )(db_params, x, emb, context if u.cross_attention_levels[i] else None)
         skips = skips + new_skips
@@ -319,6 +322,7 @@ def controlnet_forward(
         lambda p, xx, ee, cc: mid_block(
             p, xx, ee, cc, f, u.num_attention_heads[-1], image_only_indicator,
             backend=attention_backend, compute_dtype=compute_dtype,
+            remat_units=units,
         )
     )(params["mid_block"], x, emb, context)
 

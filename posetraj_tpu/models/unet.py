@@ -154,10 +154,14 @@ def unet_forward(
     emb = compute_embeddings(params, cfg, timestep, added_time_ids, b, f, compute_dtype)
     context = jnp.repeat(encoder_hidden_states.astype(compute_dtype), f, axis=0)
 
-    # Per-block rematerialization: activations inside each block recompute in
-    # the backward pass — the jax.checkpoint equivalent of the reference's
-    # --gradient_checkpointing (train...blender_14.py:975-976).
-    ckpt = (lambda fn: jax.checkpoint(fn)) if remat else (lambda fn: fn)
+    # Rematerialization — the jax.checkpoint equivalent of the reference's
+    # --gradient_checkpointing (train...blender_14.py:975-976). remat=True
+    # checkpoints whole blocks; remat="unit" pushes the boundary down to each
+    # (resnet, transformer) unit inside the blocks (blocks.py down_block
+    # docstring) — the flagship 320x576 recipe needs the finer granularity to
+    # fit 16 GB HBM.
+    units = remat == "unit"
+    ckpt = (lambda fn: jax.checkpoint(fn)) if (remat and not units) else (lambda fn: fn)
 
     x = sample.reshape(b * f, h, w, sample.shape[-1]).astype(compute_dtype)
     x = conv2d(params["conv_in"], x, compute_dtype=compute_dtype)
@@ -170,6 +174,7 @@ def unet_forward(
             lambda p, xx, ee, cc, _i=i: down_block(
                 p, xx, ee, cc, f, cfg.num_attention_heads[_i], image_only_indicator,
                 backend=attention_backend, compute_dtype=compute_dtype,
+                remat_units=units,
             )
         )(db_params, x, emb, context if cfg.cross_attention_levels[i] else None)
         skips = skips + new_skips
@@ -185,6 +190,7 @@ def unet_forward(
         lambda p, xx, ee, cc: mid_block(
             p, xx, ee, cc, f, cfg.num_attention_heads[-1], image_only_indicator,
             backend=attention_backend, compute_dtype=compute_dtype,
+            remat_units=units,
         )
     )(params["mid_block"], x, emb, context)
     if mid_block_residual is not None:
@@ -199,6 +205,7 @@ def unet_forward(
             lambda p, xx, ss, ee, cc, _i=i: up_block(
                 p, xx, ss, ee, cc, f, rev_heads[_i], image_only_indicator,
                 backend=attention_backend, compute_dtype=compute_dtype,
+                remat_units=units,
             )
         )(ub_params, x, block_skips, emb, context if rev_cross[i] else None)
 

@@ -92,7 +92,8 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _flash_kernel_tq(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, s_len: int):
+def _flash_kernel_tq(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, s_len: int,
+                     no_max: bool = False):
     """Transposed-accumulator variant: one (batch*head, q-block) program.
 
     Head_dim 64 puts BOTH matmuls of the natural layout at 50% MXU

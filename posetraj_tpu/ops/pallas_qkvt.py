@@ -127,7 +127,8 @@ def ln_qkvt_proj(x, wt, ln_s, ln_b, eps: float = 1e-5, block_s: int = 0,
 # ---------------------------------------------------------------------------
 
 
-def _qkvt_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
+def _qkvt_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int,
+                      no_max: bool = False):
     """One (batch, head, q-block) program, ALL refs transposed per-head:
     q_ref (1, H, bq); k_ref/v_ref (1, H, S); o_ref (1, H, bq).
     exp2 softmax with log2(e) folded into the q scale (see _flash_kernel_tq).
@@ -147,7 +148,22 @@ def _qkvt_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int)
     def aug(v):  # (H, bk) -> (H+8, bk): 8 ones-rows (sublane granularity)
         return jnp.concatenate([v, jnp.ones((8, v.shape[1]), v.dtype)], axis=0)
 
+    # no_max: in base 2, subtracting the row max rescales p/l/acc by the SAME
+    # power of two — exact in binary floating point, so the division cancels
+    # it bit-for-bit. Skipping it deletes the max pass AND the serial online
+    # alpha-rescale chain between K blocks (each block becomes an independent
+    # exp2 + MXU accumulate, which Mosaic pipelines freely). Logits are
+    # clamped at 80 in the log2 domain (natural logit ~55 — attention at that
+    # sharpness is a one-hot; the clamp preserves exactness below it) so p
+    # stays <= 2^80 and the f32 accumulator (< S * 2^80 * |V| ~ 2^95) cannot
+    # overflow. KernelConfig.attn_no_max gates this at dispatch.
+    _CLAMP = 80.0
+
     if num_kb == 1:
+        # Single-block: exact softmax. no_max measured SLOWER here (0.59 ->
+        # 0.79 ms at S=576 — the min clamp fuses worse than the max+sub it
+        # replaces, and there is no alpha chain to delete), so it only
+        # applies to the multi-block path below.
         s = jax.lax.dot_general(
             k_ref[0], q_t, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # (S, bq)
@@ -173,6 +189,15 @@ def _qkvt_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int)
             aug(v_blk), p, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (H+8, bq): contraction over block_k at full MXU width; row H = l
+
+    if no_max:
+        acc = jnp.zeros((head_dim + 8, block_q), jnp.float32)
+        for j in range(num_kb):  # trace-time unroll; blocks fully independent
+            p = jnp.exp2(jnp.minimum(logits(j), _CLAMP)).astype(v_ref.dtype)
+            acc = acc + pv(j, p)
+        o_ref[0] = (acc[:head_dim] / jnp.maximum(acc[head_dim : head_dim + 1], 1e-30)
+                    ).astype(o_ref.dtype)
+        return
 
     # Statically-unrolled STAGGERED K loop (num_kb <= 9 at every SVD shape):
     # block j+1's logits matmul carries no dependency on block j's softmax
@@ -221,8 +246,9 @@ def qkvt_blocks(s: int):
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
-def qkvt_attention(qkv_t, num_heads: int, scale: float, interpret: bool | None = None):
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret", "no_max"))
+def qkvt_attention(qkv_t, num_heads: int, scale: float, interpret: bool | None = None,
+                   no_max: bool = False):
     """qkv_t (B, 3C, S) [row-blocks q|k|v, each C = num_heads * H] ->
     o_t (B, C, S). Per-head tiles are sliced by BlockSpec index maps on the
     sublane axis; nothing is ever transposed."""
@@ -238,7 +264,8 @@ def qkvt_attention(qkv_t, num_heads: int, scale: float, interpret: bool | None =
 
     grid = (b, n, s // block_q)
     out = pl.pallas_call(
-        functools.partial(_qkvt_attn_kernel, scale=scale, block_k=block_k),
+        functools.partial(_qkvt_attn_kernel, scale=scale, block_k=block_k,
+                          no_max=no_max),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, h, block_q), lambda bi, ni, qi: (bi, ni, qi)),
@@ -326,10 +353,13 @@ def _ref_attn_sublayer(x, ln_s, ln_b, wqkv, wo, bo, num_heads, eps):
 
 
 def _fused_impl(x, ln_s, ln_b, wqkv, wo, bo, num_heads, eps):
+    from posetraj_tpu.configs import kernel_config
+
     wt = wqkv.astype(x.dtype).T  # (3C, C); loop-invariant, hoisted by XLA
     qkv_t = ln_qkvt_proj(x, wt, ln_s, ln_b, eps=eps)
     c = wqkv.shape[0]
-    o_t = qkvt_attention(qkv_t, num_heads, (c // num_heads) ** -0.5)
+    o_t = qkvt_attention(qkv_t, num_heads, (c // num_heads) ** -0.5,
+                         no_max=kernel_config().attn_no_max)
     return out_proj_res(o_t, wo.astype(x.dtype), bo.astype(x.dtype), x)
 
 

@@ -192,12 +192,12 @@ def edm_training_loss(
         camera_cond=batch.get("cam_parameter"),
         rot_id=batch.get("rot_id"),
         compute_dtype=compute_dtype,
-        remat=tcfg.gradient_checkpointing,
+        remat=_remat_mode(tcfg),
     )
     model_pred = unet_m.unet_forward(
         frozen_params["unet"], u, inp8, timesteps, clip_emb, time_ids,
         down_res, mid_res, compute_dtype=compute_dtype,
-        remat=tcfg.gradient_checkpointing,
+        remat=_remat_mode(tcfg),
     ).astype(jnp.float32)
 
     denoised = model_pred * c_out + c_skip * noisy_latents
@@ -234,6 +234,14 @@ def edm_training_loss(
 
     metrics["loss"] = loss
     return loss, metrics
+
+
+def _remat_mode(tcfg):
+    """False | True | "unit" for unet/controlnet forward `remat` (configs.py
+    TrainConfig.remat_granularity)."""
+    if not tcfg.gradient_checkpointing:
+        return False
+    return "unit" if getattr(tcfg, "remat_granularity", "unit") == "unit" else True
 
 
 def _scale_by_adam_bf16(b1: float, b2: float, eps: float) -> optax.GradientTransformation:

@@ -33,6 +33,68 @@ def host_fingerprint() -> str:
     return hashlib.sha256(blob.encode()).hexdigest()[:12]
 
 
+_BIG_STACK_POOL = None
+
+
+def raise_stack_limit(stack_mib: int = 256) -> None:
+    """Route XLA compiles (and cached-executable deserialization) through a
+    dedicated worker thread with a large explicit stack.
+
+    XLA:CPU's compiler recurses over the HLO graph on the CALLING thread, and
+    the unit-granularity remat graph (configs.py TrainConfig.remat_granularity)
+    has enough checkpoint regions that compiling — or RELOADING from the
+    persistent cache — the tiny train step overflows the default 8 MiB main
+    stack: a hard SIGSEGV inside backend_compile_and_load /
+    get_executable_and_time (observed round 5, tests/test_train.py).
+
+    Raising RLIMIT_STACK at runtime does NOT work: the kernel computed
+    mmap_base from the limit at exec time, so the main stack has no room to
+    grow into (still segfaulted at a 64 MiB soft limit). Re-exec breaks under
+    pytest (its capture has already dup2'd the fds). A worker thread created
+    after `threading.stack_size(...)` gets the large stack directly.
+
+    Monkeypatches jax._src.compiler.backend_compile_and_load and
+    jax._src.compilation_cache.get_executable_and_time (both referenced via
+    module globals by their callers, so the patch is seen); guarded per-symbol
+    so a jax upgrade degrades to status quo, not an error. The TPU path is
+    unaffected either way — its compiles run in the tunnel's helper process."""
+    global _BIG_STACK_POOL
+    if _BIG_STACK_POOL is not None:
+        return
+    import concurrent.futures
+    import threading
+
+    old = threading.stack_size(stack_mib << 20)
+    pool = concurrent.futures.ThreadPoolExecutor(
+        max_workers=1, thread_name_prefix="xla-bigstack"
+    )
+    # Force the worker into existence while the large stack size is active.
+    pool.submit(lambda: None).result()
+    threading.stack_size(old)
+    _BIG_STACK_POOL = pool
+
+    def _wrap(mod, name):
+        orig = getattr(mod, name, None)
+        if orig is None or getattr(orig, "_posetraj_bigstack", False):
+            return
+
+        def patched(*a, **k):
+            return pool.submit(orig, *a, **k).result()
+
+        patched._posetraj_bigstack = True
+        patched.__name__ = getattr(orig, "__name__", name)
+        setattr(mod, name, patched)
+
+    try:
+        from jax._src import compilation_cache as _cc
+        from jax._src import compiler as _compiler
+
+        _wrap(_compiler, "backend_compile_and_load")
+        _wrap(_cc, "get_executable_and_time")
+    except ImportError:
+        pass
+
+
 def setup_cpu_collective_timeouts(warn: int = 120, terminate: int = 1200) -> None:
     """Make XLA:CPU in-process collectives deadlock-free + starvation-tolerant.
 
@@ -60,6 +122,7 @@ def setup_cpu_collective_timeouts(warn: int = 120, terminate: int = 1200) -> Non
     verified against this image's jaxlib; a rename would make
     parse_flags_from_env abort, so they live in exactly one place, here.
     """
+    raise_stack_limit()
     flags = (
         "--xla_cpu_enable_concurrency_optimized_scheduler=false "
         f"--xla_cpu_collective_call_warn_stuck_timeout_seconds={warn} "
@@ -79,6 +142,7 @@ def setup_compile_cache(root: str | None = None, min_compile_secs: float = 0.5) 
     """
     import jax
 
+    raise_stack_limit()
     if root is None:
         root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), ".jax_cache")

@@ -17,7 +17,10 @@ Run: python scripts/aot_memcheck.py            (flagship, default)
 """
 
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -116,16 +119,15 @@ def report_cost(compiled, n_chips: int):
     t_flops = flops / V5E_PEAK_FLOPS
     t_bw = bytes_acc / V5E_PEAK_BW
     bound = max(t_flops, t_bw)
-    line = (
+    print(
         f"[aot-memcheck] cost model (per chip of {n_chips}): "
         f"{flops / 1e12:.1f} TFLOP, {bytes_acc / 1e9:.1f} GB accessed -> "
         f"roofline >= max(compute {t_flops:.2f} s, memory {t_bw:.2f} s) "
-        f"= {bound:.2f} s/video (collectives excluded)"
+        f"= {bound:.2f} s/video. CAVEAT: custom calls (every Pallas kernel — "
+        f"attention/MLP/GroupNorm, the majority of the step's FLOPs) are "
+        f"opaque to XLA's cost model, and collectives are excluded: treat "
+        f"this as a LOWER bound on the XLA-visible work only."
     )
-    print(line)
-    for k in sorted(costs):
-        if k not in ("flops", "bytes accessed"):
-            print(f"[aot-memcheck]   cost[{k!r}] = {costs[k]}")
 
 
 def main(argv=None):

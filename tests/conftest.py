@@ -7,6 +7,7 @@ and host-device-count must be forced through jax.config here.
 """
 
 import os
+import sys
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -36,3 +37,18 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long multi-process/compile-heavy tests"
     )
+
+
+def pytest_collection_modifyitems(session, config, items):
+    """Run the trainer tests FIRST. XLA:CPU segfaults (hard SIGSEGV in C++,
+    uncatchable) compiling OR deserializing the unit-remat flagship-recipe
+    train step after ~165 other tests' executables have loaded in the same
+    process — most recently right after test_sharded_single_video's sharded
+    programs — while the identical programs compile, cache-load, and run
+    fine in a fresh process (tests/test_train.py standalone is green; 3
+    full-suite runs crashed at the same item). Until the upstream bug is
+    understood, order the fragile compiles into the fresh-process window.
+    Alphabetical order is otherwise preserved."""
+    front = [it for it in items if "test_train.py" in str(it.fspath)]
+    rest = [it for it in items if "test_train.py" not in str(it.fspath)]
+    items[:] = front + rest
